@@ -1,0 +1,165 @@
+"""Canonical coordinate ordering and sorted-search joins for sparse voxel tensors.
+
+The reference establishes a *canonical lexicographic order* on batched voxel
+coordinates ``(batch, x, y, z)`` as the contract that aligns entropy-coded
+feature rows with independently (G-PCC) coded coordinates — see reference
+``shared/utils.py:116-165`` (``sort_tensor`` / ``sort_points``), which sorts by
+the weighted sum ``[1e15, 1e10, 1e5, 1]``. That float-weighted trick loses
+exactness for large grids; here the same total order is realised exactly by
+packing each coordinate row into a pair of ``uint32`` keys and using XLA's
+multi-key ``lax.sort`` — int64-free (TPU friendly) and collision-free for
+coordinates in ``[-2^15, 2^15)`` and batch indices in ``[0, 2^16)``.
+
+Joins (``features_at_coordinates``, kernel-map construction) are vectorized
+binary searches over the sorted key pairs — a static-shape, gather-only
+pattern that XLA maps well to TPU, replacing MinkowskiEngine's GPU hash map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Bias added to signed voxel coordinates so they pack into unsigned 16-bit
+# lanes. Valid coordinate range is [-COORD_BIAS, COORD_BIAS).
+COORD_BIAS = 1 << 15
+
+# Sentinel key pair that sorts after every valid coordinate (used for padding
+# rows so they collect at the tail of a canonically sorted block).
+SENTINEL_HI = jnp.uint32(0xFFFFFFFF)
+SENTINEL_LO = jnp.uint32(0xFFFFFFFF)
+
+
+def pack_keys(coords: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pack int32 ``(b, x, y, z)`` rows into lexicographically ordered uint32 pairs.
+
+    ``hi = (b << 16) | (x + COORD_BIAS)``, ``lo = ((y + COORD_BIAS) << 16) | (z + COORD_BIAS)``.
+    Comparing ``(hi, lo)`` as unsigned pairs is exactly lexicographic comparison
+    of ``(b, x, y, z)``.
+    """
+    c = coords.astype(jnp.int32)
+    b = c[..., 0].astype(jnp.uint32)
+    x = (c[..., 1] + COORD_BIAS).astype(jnp.uint32)
+    y = (c[..., 2] + COORD_BIAS).astype(jnp.uint32)
+    z = (c[..., 3] + COORD_BIAS).astype(jnp.uint32)
+    hi = (b << 16) | (x & jnp.uint32(0xFFFF))
+    lo = (y << 16) | (z & jnp.uint32(0xFFFF))
+    return hi, lo
+
+
+def _masked_keys(coords: jax.Array, mask: jax.Array | None) -> tuple[jax.Array, jax.Array]:
+    hi, lo = pack_keys(coords)
+    if mask is not None:
+        hi = jnp.where(mask, hi, SENTINEL_HI)
+        lo = jnp.where(mask, lo, SENTINEL_LO)
+    return hi, lo
+
+
+def lex_argsort(coords: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """Permutation that sorts rows into canonical order; masked rows go last.
+
+    Stable, so ties (duplicate coordinates) keep their input order.
+    """
+    hi, lo = _masked_keys(coords, mask)
+    idx = jnp.arange(coords.shape[0], dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    return perm
+
+
+def lex_sort_coords(
+    coords: jax.Array, mask: jax.Array | None = None, *arrays: jax.Array
+) -> tuple[jax.Array, ...]:
+    """Sort ``coords`` (+ optional companion arrays and the mask) canonically."""
+    perm = lex_argsort(coords, mask)
+    out = [coords[perm]]
+    if mask is not None:
+        out.append(mask[perm])
+    out.extend(a[perm] for a in arrays)
+    return tuple(out)
+
+
+def _keys_less(hi_a, lo_a, hi_b, lo_b):
+    return (hi_a < hi_b) | ((hi_a == hi_b) & (lo_a < lo_b))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def searchsorted_keys(
+    hi_sorted: jax.Array,
+    lo_sorted: jax.Array,
+    hi_q: jax.Array,
+    lo_q: jax.Array,
+) -> jax.Array:
+    """Vectorized lower-bound binary search over sorted uint32 key pairs.
+
+    Returns for each query the first index ``i`` with ``key[i] >= q``
+    (``left`` semantics). Static shapes; ``ceil(log2(N))`` gather steps.
+    """
+    n = hi_sorted.shape[0]
+    nq = hi_q.shape[0]
+    lo_bound = jnp.zeros((nq,), dtype=jnp.int32)
+    hi_bound = jnp.full((nq,), n, dtype=jnp.int32)
+    steps = max(1, n.bit_length())
+
+    def body(_, carry):
+        lo_b, hi_b = carry
+        active = lo_b < hi_b
+        mid = (lo_b + hi_b) >> 1
+        mid_c = jnp.clip(mid, 0, n - 1)
+        less = _keys_less(hi_sorted[mid_c], lo_sorted[mid_c], hi_q, lo_q)
+        lo_b = jnp.where(active & less, mid + 1, lo_b)
+        hi_b = jnp.where(active & ~less, mid, hi_b)
+        return lo_b, hi_b
+
+    lo_bound, _ = jax.lax.fori_loop(0, steps + 1, body, (lo_bound, hi_bound))
+    return lo_bound
+
+
+def searchsorted_coords(
+    sorted_coords: jax.Array,
+    query_coords: jax.Array,
+    sorted_mask: jax.Array | None = None,
+    query_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Lower-bound insertion indices of ``query_coords`` in ``sorted_coords``."""
+    hi_s, lo_s = _masked_keys(sorted_coords, sorted_mask)
+    hi_q, lo_q = _masked_keys(query_coords, query_mask)
+    return searchsorted_keys(hi_s, lo_s, hi_q, lo_q)
+
+
+def find_coords(
+    sorted_coords: jax.Array,
+    query_coords: jax.Array,
+    sorted_mask: jax.Array | None = None,
+    query_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact-match join: index of each query row in the sorted table.
+
+    Returns ``(idx, found)`` where ``idx`` is a valid gather index for every
+    row (clamped) and ``found`` marks exact hits. Padding rows never match.
+    """
+    n = sorted_coords.shape[0]
+    hi_s, lo_s = _masked_keys(sorted_coords, sorted_mask)
+    hi_q, lo_q = _masked_keys(query_coords, query_mask)
+    pos = searchsorted_keys(hi_s, lo_s, hi_q, lo_q)
+    idx = jnp.clip(pos, 0, n - 1)
+    found = (hi_s[idx] == hi_q) & (lo_s[idx] == lo_q) & (hi_q != SENTINEL_HI)
+    return idx, found
+
+
+def mark_first_occurrences(sorted_coords: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """On canonically-sorted rows, mark the first row of each distinct coordinate.
+
+    Used for voxel dedup (reference ``capturer.py:114-116``) and for deriving
+    downsampled coordinate sets. Masked rows are never marked.
+    """
+    hi, lo = _masked_keys(sorted_coords, mask)
+    prev_hi = jnp.concatenate([jnp.full((1,), 0xFFFFFFFE, jnp.uint32), hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), 0xFFFFFFFE, jnp.uint32), lo[:-1]])
+    first = (hi != prev_hi) | (lo != prev_lo)
+    if mask is not None:
+        first = first & mask
+    else:
+        first = first & (hi != SENTINEL_HI)
+    return first

@@ -1,0 +1,30 @@
+"""Test configuration: run the suite on a local virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on ``xla_force_host_platform_device_count=8``
+(no multi-chip TPU hardware in CI); kernels are written for TPU and also pass
+here in XLA:CPU / Pallas interpret mode.
+
+Note: the harness sitecustomize registers a remote-TPU PJRT plugin and forces
+``jax_platforms="axon,cpu"`` via jax.config (env vars cannot override it), and
+initializing that backend costs minutes of tunnel handshake per process. Tests
+must be local + fast, so we pin the config to cpu before any backend
+initialization; ``bench.py`` / ``__graft_entry__.py`` use the real chip.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
