@@ -1,0 +1,108 @@
+"""Benchmark: end-to-end encode+decode throughput of the unified codec.
+
+Measures frames/sec through the full serial codec (neural transforms on the
+TPU chip, entropy + octree coding on host) on a 5-frame / 1-second GOP of the
+demo's own recorded data — the reference's 5 fps configuration, whose
+measured baseline on the sender/receiver Jetson AGX Orin pair is
+0.869 s encode + 0.756 s decode per segment => 5 / 1.625 = 3.08 fps
+(BASELINE.md rows 3/7).
+
+Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import pickle
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 5.0 / (0.869 + 0.756)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_frames(n=5):
+    files = sorted(glob.glob("/root/reference/evaluation/data/test/*.pkl"))[:n]
+    frames = []
+    for f in files:
+        d = pickle.load(open(f, "rb"))
+        frames.append(
+            {
+                "points": d["points"].astype(np.int32),
+                "colors": d["colors"].astype(np.float32),
+            }
+        )
+    if not frames:  # fall back to synthetic frames of the same scale
+        rng = np.random.default_rng(0)
+        for _ in range(n):
+            pts = np.unique(rng.integers(-200, 200, (15000, 3)).astype(np.int32), axis=0)
+            frames.append(
+                {"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)}
+            )
+    return frames
+
+
+def main():
+    import jax
+
+    log("devices:", jax.devices())
+    from pct.models import ColorModel, UnifiedConfig
+    from pct.pipeline import SerialDecoder, SerialEncoder
+
+    frames = load_frames()
+    num_frames = len(frames)
+    num_points = sum(f["points"].shape[0] for f in frames)
+    log(f"segment: {num_frames} frames, {num_points} points")
+
+    cfg = UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32)
+    model = ColorModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    enc = SerialEncoder(model, params)
+    dec = SerialDecoder(model, params)
+    settings = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]  # reference config.yaml:12-15
+
+    # warm-up (compile)
+    t0 = time.time()
+    levels, _ = enc.compress(frames, settings)
+    out, _ = dec.decompress(levels[-1])
+    log(f"warmup {time.time()-t0:.1f}s")
+
+    reps = 3
+    t_enc = t_dec = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        levels, einfo = enc.compress(frames, settings)
+        t_enc += time.time() - t0
+        t0 = time.time()
+        out, dinfo = dec.decompress(levels[-1])
+        t_dec += time.time() - t0
+    t_enc /= reps
+    t_dec /= reps
+    ok = all(
+        o["points"].shape[0] == f["points"].shape[0] for o, f in zip(out, frames)
+    )
+    log(f"encode {t_enc:.3f}s decode {t_dec:.3f}s parity={ok}")
+    log("enc steps:", {k: round(v, 4) for k, v in einfo["time_measurements"].items()})
+    log("dec steps:", {k: round(v, 4) for k, v in dinfo["time_measurements"].items()})
+
+    fps = num_frames / (t_enc + t_dec)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_encode_decode_fps_5fps_segment",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""The unified variable-rate joint geometry+attribute codec model.
+
+TPU-native re-design of the external ``unified.model.model.ColorModel`` whose
+inference surface the reference demo pins (SURVEY.md §2.3; usage at reference
+``sender/encoder/codec_pipeline.py:56-72,270-437`` and
+``receiver/decoder/codec_parallel.py:47-63,291-472``):
+
+- ``g_a``  — sparse-conv analysis transform, 3 stride-2 downsamplings
+  (voxel grid -> latent at tensor stride 8), returning the per-frame
+  ground-truth occupied-voxel counts ``k`` at each decoder upsampling level,
+- ``h_a`` / ``h_s`` — hyper analysis (stride 8 -> 32) and synthesis
+  (predicting per-latent Gaussian (scale, mean), joined onto the latent
+  coordinates),
+- factorized bottleneck over z, Gaussian conditional over y,
+- ``scale_nn`` — quality vector ``q=[q_g, q_a]`` -> per-channel latent gain
+  (variable-rate "gain units"), with dead-zone dequantization offsets on
+  decode (reference ``codec_parallel.py:405-409``),
+- ``g_s``  — generative transposed-conv synthesis with occupancy
+  classification and exact per-frame top-k pruning at each of 3 levels.
+
+Differences from the reference implementation (by design, not omission):
+- z-coordinates are re-derived from y-coordinates by *pure coordinate*
+  downsampling (``derive_z_coords``) instead of running a strided conv on a
+  ones-tensor (reference ``codec_parallel.py:296-303``) — the coordinate set
+  is identical and no GEMM is spent on it.
+- All shapes are padded/bucketed for XLA; per-level decode capacities are
+  derived host-side from the transmitted ``k`` values.
+
+Everything here is pure-functional: ``params`` is a pytree dict, model
+objects hold only static configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pct.entropy.bottleneck import EntropyBottleneck
+from pct.entropy.gaussian import GaussianConditional
+from pct.ops import (
+    counts_per_batch,
+    downsample_coords,
+    generative_conv_up,
+    prune_block,
+    sparse_conv,
+    sparse_conv_down,
+    topk_per_batch_mask,
+)
+from pct.sparse.block import SparseBlock, truncate_capacity
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class UnifiedConfig:
+    """Static model hyperparameters (the checkpoint's ``config.yaml`` analog)."""
+
+    in_channels: int = 4  # [1, R, G, B] — constant-1 channel prepended as in
+    # reference codec_pipeline.py:258
+    channels: tuple[int, ...] = (32, 64, 128)  # after each analysis down-conv
+    latent_channels: int = 128  # y
+    hyper_channels: int = 64  # z
+    scale_nn_hidden: int = 64
+    eps: float = 1e-6  # gain floor (reference `entropy_model.eps`)
+    num_levels: int = 3  # stride-2 stages between voxels and latents
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "UnifiedConfig":
+        d = dict(d)
+        for k in ("channels",):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["channels"] = list(d["channels"])
+        return d
+
+
+def _conv_init(key, k, cin, cout):
+    scale = 1.0 / np.sqrt(k * cin)
+    return jax.random.uniform(key, (k, cin, cout), jnp.float32, -scale, scale)
+
+
+def _dense_init(key, cin, cout):
+    scale = 1.0 / np.sqrt(cin)
+    return jax.random.uniform(key, (cin, cout), jnp.float32, -scale, scale)
+
+
+class ColorModel:
+    """Variable-rate joint geometry+attribute sparse codec (API parity with
+    the reference's ``ColorModel``, re-architected for TPU)."""
+
+    def __init__(self, config: UnifiedConfig | None = None):
+        self.config = config or UnifiedConfig()
+        self.entropy_bottleneck = EntropyBottleneck(self.config.hyper_channels)
+        self.gaussian_conditional = GaussianConditional()
+        self.eps = self.config.eps
+
+    # ------------------------------------------------------------------
+    # Parameters
+    # ------------------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> Params:
+        cfg = self.config
+        keys = iter(jax.random.split(key, 64))
+        p: Params = {"g_a": {}, "h_a": {}, "h_s": {}, "g_s": {}, "scale_nn": {}}
+
+        # g_a: per level: conv3 + relu, down2; final conv3 to latent
+        cin = cfg.in_channels
+        for i, c in enumerate(cfg.channels):
+            p["g_a"][f"conv{i}"] = {
+                "w": _conv_init(next(keys), 27, cin, c),
+                "b": jnp.zeros((c,), jnp.float32),
+            }
+            p["g_a"][f"down{i}"] = {
+                "w": _conv_init(next(keys), 8, c, c),
+                "b": jnp.zeros((c,), jnp.float32),
+            }
+            cin = c
+        p["g_a"]["out"] = {
+            "w": _conv_init(next(keys), 27, cin, cfg.latent_channels),
+            "b": jnp.zeros((cfg.latent_channels,), jnp.float32),
+        }
+
+        # h_a: conv3 + 2x down2 onto hyper channels
+        hc = cfg.hyper_channels
+        p["h_a"]["conv0"] = {
+            "w": _conv_init(next(keys), 27, cfg.latent_channels, hc),
+            "b": jnp.zeros((hc,), jnp.float32),
+        }
+        p["h_a"]["down0"] = {"w": _conv_init(next(keys), 8, hc, hc), "b": jnp.zeros((hc,), jnp.float32)}
+        p["h_a"]["down1"] = {"w": _conv_init(next(keys), 8, hc, hc), "b": jnp.zeros((hc,), jnp.float32)}
+
+        # h_s: 2x generative up + convs, output 2*latent (scales, means)
+        p["h_s"]["up0"] = {"w": _conv_init(next(keys), 8, hc, hc), "b": jnp.zeros((hc,), jnp.float32)}
+        p["h_s"]["conv0"] = {"w": _conv_init(next(keys), 27, hc, hc), "b": jnp.zeros((hc,), jnp.float32)}
+        p["h_s"]["up1"] = {"w": _conv_init(next(keys), 8, hc, hc), "b": jnp.zeros((hc,), jnp.float32)}
+        p["h_s"]["conv1"] = {
+            "w": _conv_init(next(keys), 27, hc, 2 * cfg.latent_channels),
+            "b": jnp.zeros((2 * cfg.latent_channels,), jnp.float32),
+        }
+
+        # g_s: 3 levels of generative up + conv + occupancy head; final rgb
+        cin = cfg.latent_channels
+        up_channels = tuple(reversed(cfg.channels))  # e.g. (128, 64, 32)
+        for i, c in enumerate(up_channels):
+            p["g_s"][f"up{i}"] = {
+                "w": _conv_init(next(keys), 8, cin, c),
+                "b": jnp.zeros((c,), jnp.float32),
+            }
+            p["g_s"][f"conv{i}"] = {
+                "w": _conv_init(next(keys), 27, c, c),
+                "b": jnp.zeros((c,), jnp.float32),
+            }
+            p["g_s"][f"occ{i}"] = {
+                "w": _conv_init(next(keys), 27, c, 1),
+                "b": jnp.zeros((1,), jnp.float32),
+            }
+            cin = c
+        p["g_s"]["rgb"] = {
+            "w": _conv_init(next(keys), 27, cin, 3),
+            "b": jnp.zeros((3,), jnp.float32),
+        }
+
+        # scale_nn: q[2] -> gain[latent]
+        p["scale_nn"]["w0"] = _dense_init(next(keys), 2, cfg.scale_nn_hidden)
+        p["scale_nn"]["b0"] = jnp.zeros((cfg.scale_nn_hidden,), jnp.float32)
+        p["scale_nn"]["w1"] = _dense_init(next(keys), cfg.scale_nn_hidden, cfg.latent_channels)
+        p["scale_nn"]["b1"] = jnp.zeros((cfg.latent_channels,), jnp.float32)
+
+        p["entropy_bottleneck"] = self.entropy_bottleneck.init_params(next(keys))
+        return p
+
+    # ------------------------------------------------------------------
+    # Transforms
+    # ------------------------------------------------------------------
+
+    def g_a(self, params: Params, block: SparseBlock, num_frames: int):
+        """Analysis transform. Returns ``(y_block, ks)`` where ``ks`` is an
+        int32 ``[num_levels, num_frames]`` array of ground-truth occupied
+        counts at the decoder's upsampling output levels, ordered coarse ->
+        fine (stride 4, 2, 1) to match the bitstream's (k1, k2, k3)."""
+        p = params["g_a"]
+        x = block
+        counts = []  # counts at stride 1, 2, 4 (before each downsample)
+        for i in range(self.config.num_levels):
+            counts.append(counts_per_batch(x.coords[:, 0], x.mask, num_frames))
+            h = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"])
+            h = h.with_feats(jax.nn.relu(h.feats))
+            x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
+            x = x.with_feats(jax.nn.relu(x.feats))
+        y = sparse_conv(x, p["out"]["w"], p["out"]["b"])
+        ks = jnp.stack(list(reversed(counts)), axis=0)  # [L, B]: stride 4, 2, 1
+        return y, ks
+
+    def h_a(self, params: Params, y: SparseBlock) -> SparseBlock:
+        p = params["h_a"]
+        h = sparse_conv(y, p["conv0"]["w"], p["conv0"]["b"])
+        h = h.with_feats(jax.nn.relu(h.feats))
+        h = sparse_conv_down(h, p["down0"]["w"], p["down0"]["b"])
+        h = h.with_feats(jax.nn.relu(h.feats))
+        z = sparse_conv_down(h, p["down1"]["w"], p["down1"]["b"])
+        return z
+
+    @staticmethod
+    def derive_z_coords(y: SparseBlock) -> SparseBlock:
+        """Deterministically re-derive z coordinates (stride 8 -> 32) from
+        decoded y coordinates — pure coordinate math, shared by encoder and
+        decoder so the factorized decode is anchored without transmitting
+        z geometry (role of the reference's ones-tensor ``g_s.down_conv`` x2,
+        ``codec_parallel.py:296-303``)."""
+        c1, m1 = downsample_coords(y, 2)
+        mid = SparseBlock(coords=c1, feats=jnp.zeros((c1.shape[0], 1)), mask=m1, stride=y.stride * 2)
+        c2, m2 = downsample_coords(mid, 2)
+        return SparseBlock(
+            coords=c2, feats=jnp.ones((c2.shape[0], 1)), mask=m2, stride=mid.stride * 2
+        )
+
+    def h_s(self, params: Params, z: SparseBlock, y_coords: jax.Array, y_mask: jax.Array):
+        """Hyper synthesis: upsample z twice and join Gaussian params onto the
+        y coordinates. Returns ``(scales, means)`` with shape [Ny, C]."""
+        p = params["h_s"]
+        h = generative_conv_up(z, p["up0"]["w"], p["up0"]["b"])
+        h = sparse_conv(h, p["conv0"]["w"], p["conv0"]["b"])
+        h = h.with_feats(jax.nn.relu(h.feats))
+        h = generative_conv_up(h, p["up1"]["w"], p["up1"]["b"])
+        h = sparse_conv(h, p["conv1"]["w"], p["conv1"]["b"])
+        from pct.sparse.block import features_at_coordinates
+
+        gp = features_at_coordinates(h, y_coords, y_mask)
+        scales_raw, means = jnp.split(gp, 2, axis=-1)
+        scales = jax.nn.softplus(scales_raw) + 1e-4
+        return scales, means
+
+    def scale_nn(self, params: Params, q: jax.Array) -> jax.Array:
+        """Quality vector [2] -> positive per-channel gain [latent] (+eps)."""
+        p = params["scale_nn"]
+        h = jax.nn.relu(q @ p["w0"] + p["b0"])
+        return jax.nn.softplus(h @ p["w1"] + p["b1"]) + self.eps
+
+    def get_offsets(self, y_q_stdev: jax.Array) -> jax.Array:
+        """Dead-zone dequantization offset per latent (reference
+        ``entropy_model.get_offsets`` — ``codec_parallel.py:405-409``).
+
+        Closed-form conditional-mean correction for a centered Gaussian with
+        stdev ``s`` (in quantization-grid units) at the first nonzero bin:
+        ``E[X | 0.5 < X < 1.5] - 1``; applied symmetrically via the sign and
+        zeroed at the zero bin by the caller. Negative (pulls reconstructions
+        toward zero), saturating to 0 for large s.
+        """
+        s = jnp.maximum(y_q_stdev, 1e-4)
+        sqrt2 = np.sqrt(2.0)
+
+        def phi(x):
+            return jnp.exp(-0.5 * x * x) / np.sqrt(2 * np.pi)
+
+        def Phi(x):
+            return 0.5 * (1 + jax.lax.erf(x / sqrt2))
+
+        a, b = 0.5 / s, 1.5 / s
+        denom = jnp.maximum(Phi(b) - Phi(a), 1e-12)
+        mean = s * (phi(a) - phi(b)) / denom
+        return mean - 1.0
+
+    def g_s(
+        self,
+        params: Params,
+        y_hat: SparseBlock,
+        ks: jax.Array,
+        level_capacities: Sequence[int] | None = None,
+        return_logits: bool = False,
+    ):
+        """Synthesis: 3x (generative up, conv, occupancy classify, top-k prune
+        to exactly ``ks[level]`` voxels per frame), then RGB head.
+
+        ``ks``: int32 [num_levels, B], coarse->fine. ``level_capacities``:
+        static per-level row capacities (decode-side, derived from the
+        transmitted k values); defaults to the full 8x expansions.
+        Returns the reconstructed stride-1 block (RGB features), plus the
+        per-level (candidate blocks, occupancy logits) when
+        ``return_logits`` (training)."""
+        p = params["g_s"]
+        x = y_hat
+        aux = []
+        for i in range(self.config.num_levels):
+            x = generative_conv_up(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"])
+            x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"])
+            x = x.with_feats(jax.nn.relu(x.feats))
+            logits = sparse_conv(x, p[f"occ{i}"]["w"], p[f"occ{i}"]["b"]).feats[:, 0]
+            if return_logits:
+                aux.append((x, logits))
+            keep = topk_per_batch_mask(x.coords[:, 0], logits, x.mask, ks[i])
+            x = prune_block(x, keep)
+            if level_capacities is not None:
+                x = truncate_capacity(x, level_capacities[i])
+        rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"])
+        if return_logits:
+            return rgb, aux
+        return rgb

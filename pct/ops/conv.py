@@ -39,12 +39,16 @@ def _gather_gemm(
     bias: Optional[jax.Array],
     out_mask: jax.Array,
 ) -> jax.Array:
-    """Accumulate sum_k feats[idx[:, k]] @ weight[k] with missing taps zeroed."""
-    k = weight.shape[0]
-    acc = jnp.zeros((idx.shape[0], weight.shape[2]), feats.dtype)
-    for j in range(k):
-        g = feats[idx[:, j]] * found[:, j, None].astype(feats.dtype)
-        acc = acc + jnp.dot(g, weight[j], preferred_element_type=acc.dtype)
+    """sum_k feats[idx[:, k]] @ weight[k] with missing taps zeroed.
+
+    One gather + one K-contracted einsum: the contraction folds the K*C_in
+    dims into a single [N, K*C_in] @ [K*C_in, C_out] MXU matmul and keeps the
+    traced graph small (a per-tap Python loop makes jaxprs/compile blow up
+    ~K-fold through vmap+grad)."""
+    gathered = feats[idx] * found[..., None].astype(feats.dtype)  # [N, K, Cin]
+    acc = jnp.einsum(
+        "nkc,kcd->nd", gathered, weight, preferred_element_type=feats.dtype
+    )
     if bias is not None:
         acc = acc + bias
     return jnp.where(out_mask[:, None], acc, 0)

@@ -92,6 +92,24 @@ class SparseBlock:
         )
 
 
+def truncate_capacity(block: SparseBlock, capacity: int) -> SparseBlock:
+    """Shrink the padded capacity of a canonical block to ``capacity`` rows.
+
+    Canonical blocks keep valid rows first, so truncation only drops padding
+    as long as ``capacity >= count()`` (asserted when run eagerly). Used by
+    the decoder to keep per-level capacities tight after top-k pruning
+    instead of letting the 8x child expansion compound.
+    """
+    if capacity >= block.capacity:
+        return block.pad_to(capacity)
+    return SparseBlock(
+        coords=block.coords[:capacity],
+        feats=block.feats[:capacity],
+        mask=block.mask[:capacity],
+        stride=block.stride,
+    )
+
+
 def canonicalize(
     coords: jax.Array,
     feats: jax.Array,

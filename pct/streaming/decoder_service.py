@@ -1,0 +1,120 @@
+"""Decoder service: concurrent segment decompression.
+
+Reference: ``receiver/decoder/decoder.py`` — PULLs downloaded segments from
+the client, decodes on a 3-worker pool (``codecs=="unified"`` -> neural
+decompression, ``"raw"`` -> passthrough with zeroed timings), re-attaches
+timing sideinfo, and PUSHes decoded frames back to the client. The decoder
+implementation is selected by config ``decoder_type`` ("Single" serial vs
+pipelined)."""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from pct.config import Config
+from pct.streaming.media_server import unpack_raw_frames
+from pct.streaming.transport import PullSocket, PushSocket
+from pct.utils import stamp
+
+
+class Decoder:
+    def __init__(self, config: Optional[Config] = None, pipeline=None, workers: int = 3):
+        self.config = config or Config.load()
+        self.pull = PullSocket(self.config["decoder_address"])
+        self.push = PushSocket(self.config["client_address"])
+        self.executor = ThreadPoolExecutor(max_workers=workers)
+        self.pipeline = pipeline or self._default_pipeline()
+
+    def _default_pipeline(self):
+        from pct.models import ColorModel, UnifiedConfig, checkpoint
+
+        ckpt = self.config.get("checkpoint_path")
+        if ckpt:
+            model, params = checkpoint.load(ckpt)
+        else:
+            import jax
+
+            model = ColorModel(
+                UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32)
+            )
+            params = model.init_params(jax.random.key(0))
+        if self.config.get("decoder_type", "Pipelined") == "Single":
+            from pct.pipeline import SerialDecoder
+
+            return SerialDecoder(model, params)
+        from pct.pipeline import DecompressionPipeline
+
+        return DecompressionPipeline(model, params)
+
+    # ------------------------------------------------------------------
+    def decode_and_send(self, msg: dict) -> None:
+        try:
+            sideinfo = dict(msg.get("sideinfo", {}))
+            stamp(sideinfo, "decoder_received")
+            data = bytes(msg["data"])
+            if msg.get("codecs") == "unified":
+                frames, codec_info = self.pipeline.decompress(data)
+                sideinfo.update(
+                    {k: v for k, v in codec_info.items() if k != "timestamps"}
+                )
+                sideinfo.setdefault("timestamps", {}).update(
+                    codec_info.get("timestamps", {})
+                )
+                out = [
+                    {
+                        "points": f["points"].astype(np.float32),
+                        "colors": f["colors"].astype(np.float32),
+                    }
+                    for f in frames
+                ]
+            else:  # raw passthrough (zeroed codec timings, reference decoder.py:58-70)
+                raw = unpack_raw_frames(data)
+                out = [
+                    {
+                        "points": f["points"].astype(np.float32),
+                        "colors": f["colors"].astype(np.float32) / 255.0,
+                    }
+                    for f in raw
+                ]
+                sideinfo["time_measurements"] = {
+                    k: 0.0
+                    for k in (
+                        "bitstream_reading",
+                        "geometry_decompression",
+                        "factorized_model",
+                        "hyper_synthesis",
+                        "guassian_model",
+                        "synthesis_transform",
+                    )
+                }
+            stamp(sideinfo, "decoder_finished")
+            self.push.send(
+                {
+                    "segment_number": msg.get("segment_number"),
+                    "quality": msg.get("quality"),
+                    "frames": out,
+                    "sideinfo": sideinfo,
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[decoder] segment {msg.get('segment_number')} failed: {e}", flush=True)
+
+    def run(self, max_segments: Optional[int] = None) -> None:
+        done = 0
+        while True:
+            msg = self.pull.recv()
+            self.executor.submit(self.decode_and_send, msg)
+            done += 1
+            if max_segments is not None and done >= max_segments:
+                self.executor.shutdown(wait=True)
+                return
+
+
+if __name__ == "__main__":
+    import sys
+
+    Decoder(Config.load(sys.argv[1] if len(sys.argv) > 1 else None)).run()

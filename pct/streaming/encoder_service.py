@@ -1,0 +1,122 @@
+"""Encoder service: segment batching, temporal resampling, concurrent GOP
+compression.
+
+Reference: ``sender/encoder/encoder.py`` — PULLs frames, buckets them into
+``segment_duration``-long batches by capture timestamp, uniformly resamples
+each batch to ``segment_duration * target_fps`` frames by nearest timestamp,
+and compresses segments on a 3-worker pool so consecutive GOPs overlap.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from pct.config import Config
+from pct.streaming.transport import PullSocket, PushSocket
+from pct.utils import stamp
+
+
+def sample_frames(frames: list[dict], num_target: int, t0: float, duration: float) -> list[dict]:
+    """Uniform temporal resampling: for each target slot pick the frame with
+    the nearest capture timestamp (reference ``encoder.py:95-129``)."""
+    if not frames:
+        return []
+    ts = np.array([f["timestamp"] for f in frames])
+    targets = t0 + (np.arange(num_target) + 0.5) * duration / num_target
+    picks = [int(np.argmin(np.abs(ts - t))) for t in targets]
+    return [frames[p] for p in picks]
+
+
+class Encoder:
+    def __init__(self, config: Optional[Config] = None, pipeline=None, workers: int = 3):
+        self.config = config or Config.load()
+        self.segment_duration = float(self.config.get("segment_duration", 1.0))
+        self.target_fps = int(self.config.get("target_fps", 5))
+        self.settings = list(self.config.get("encoding_settings"))
+        self.pull = PullSocket(self.config["encoder_address"])
+        self.push = PushSocket(self.config["media_server_address"])
+        self.executor = ThreadPoolExecutor(max_workers=workers)
+        self.pipeline = pipeline or self._default_pipeline()
+        self._segment_id = 0
+
+    def _default_pipeline(self):
+        from pct.models import ColorModel, UnifiedConfig, checkpoint
+        from pct.pipeline import CompressionPipeline
+
+        ckpt = self.config.get("checkpoint_path")
+        if ckpt:
+            model, params = checkpoint.load(ckpt)
+        else:
+            import jax
+
+            model = ColorModel(UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32))
+            params = model.init_params(jax.random.key(0))
+        return CompressionPipeline(model, params)
+
+    # ------------------------------------------------------------------
+    def process(self, frames: list[dict], seg_start: float, segment_id: int) -> None:
+        try:
+            n = max(1, round(self.segment_duration * self.target_fps))
+            sampled = sample_frames(frames, n, seg_start, self.segment_duration)
+            sideinfo = {
+                "segment_id": segment_id,
+                "timestamps": {
+                    "capturing": float(np.mean([f["timestamp"] for f in sampled])),
+                    "sampling": time.time(),
+                },
+            }
+            fr = [
+                {"points": np.asarray(f["points"], np.int32), "colors": f["colors"]}
+                for f in sampled
+            ]
+            levels, codec_info = self.pipeline.compress(fr, self.settings)
+            sideinfo.update(codec_info)
+            sideinfo["timestamps"].update(codec_info.get("timestamps", {}))
+            # raw passthrough level 0 (reference codec_pipeline.py:204-206):
+            raw = [
+                {
+                    "points": np.asarray(f["points"], np.int16),
+                    "colors": (np.asarray(f["colors"]) * 255).astype(np.uint8),
+                }
+                for f in sampled
+            ]
+            self.push.send(
+                {
+                    "segment_id": segment_id,
+                    "compressed_levels": [lv.pack() for lv in levels],
+                    "raw_frames": raw,
+                    "sideinfo": sideinfo,
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[encoder] segment {segment_id} failed: {e}", flush=True)
+
+    def run(self, max_segments: Optional[int] = None) -> None:
+        buffer: list[dict] = []
+        seg_start: Optional[float] = None
+        done = 0
+        while True:
+            frame = self.pull.recv()
+            t = float(frame["timestamp"])
+            if seg_start is None:
+                seg_start = t
+            if t - seg_start >= self.segment_duration and buffer:
+                self.executor.submit(self.process, buffer, seg_start, self._segment_id)
+                self._segment_id += 1
+                done += 1
+                buffer = []
+                seg_start = t
+                if max_segments is not None and done >= max_segments:
+                    self.executor.shutdown(wait=True)
+                    return
+            buffer.append(frame)
+
+
+if __name__ == "__main__":
+    import sys
+
+    Encoder(Config.load(sys.argv[1] if len(sys.argv) > 1 else None)).run()

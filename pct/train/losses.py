@@ -1,0 +1,119 @@
+"""Rate-distortion training objective for the unified codec.
+
+The reference demo ships inference only (weights come from the external
+Unified-Point-Cloud-Compression trainer); a complete framework must be able
+to (re)train the codec, so this module implements the standard RD objective
+for this model family (SURVEY.md §2.3 semantics):
+
+  loss = rate(z) + rate(y | hyper, gain(q))
+       + λ_g(q_g) · occupancy-BCE at the 3 upsampling levels
+       + λ_a(q_a) · color MSE on correctly reconstructed voxels
+       + w_aux · factorized-prior quantile aux loss
+
+Variable-rate conditioning is trained by sampling a quality vector q per step
+and scaling latents by ``scale_nn(q)`` exactly as at inference. Quantization
+is the additive-uniform-noise surrogate.
+
+Training operates on per-frame fixed-capacity blocks (leading batch axis,
+vmapped) so the batch axis can be sharded over a device mesh (pct.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from pct.models.unified import ColorModel, Params
+from pct.ops import downsample_coords
+from pct.sparse import coords as coords_lib
+from pct.sparse.block import SparseBlock, features_at_coordinates
+
+
+def _coord_set_at_stride(block: SparseBlock, factor: int):
+    """True occupied coordinate set of the input at ``stride*factor`` grid."""
+    if factor == 1:
+        return block.coords, block.mask
+    tmp = block
+    f = factor
+    while f > 1:
+        c, m = downsample_coords(tmp, 2)
+        tmp = SparseBlock(coords=c, feats=tmp.feats[:, :1], mask=m, stride=tmp.stride * 2)
+        f //= 2
+    return tmp.coords, tmp.mask
+
+
+def frame_rd_loss(
+    model: ColorModel,
+    params: Params,
+    block: SparseBlock,
+    q: jax.Array,
+    key: jax.Array,
+    lambda_g: float = 1.0,
+    lambda_a: float = 255.0**2 / 1e4,
+) -> tuple[jax.Array, Dict[str, Any]]:
+    """RD loss for a single frame block (batch column all zeros). Returns
+    (scalar loss, metrics dict). vmap over frames for a batch."""
+    k_z, k_y = jax.random.split(key)
+    num_points = jnp.maximum(block.count().astype(jnp.float32), 1.0)
+
+    # analysis
+    y, ks = model.g_a(params, block, 1)  # ks: [3, 1]
+    z = model.h_a(params, y)
+
+    # hyper rate (noise quantization), channel-major [C, N]
+    zf = z.feats.T
+    z_noisy = zf + jax.random.uniform(k_z, zf.shape, zf.dtype, -0.5, 0.5)
+    z_lik = model.entropy_bottleneck.likelihood(params["entropy_bottleneck"], z_noisy)
+    z_bits = -jnp.sum(
+        jnp.log2(jnp.maximum(z_lik, 1e-9)) * z.mask[None, :], dtype=jnp.float32
+    )
+
+    # hyper synthesis on noisy z_hat
+    z_hat = z.with_feats(z_noisy.T)
+    scales, means = model.h_s(params, z_hat, y.coords, y.mask)
+
+    # gain-conditioned latent rate
+    gain = model.scale_nn(params, q)
+    y_scaled = y.feats * gain
+    y_noisy = y_scaled + jax.random.uniform(k_y, y_scaled.shape, y_scaled.dtype, -0.5, 0.5)
+    y_lik = model.gaussian_conditional.likelihood(y_noisy, scales * gain, means * gain)
+    y_bits = -jnp.sum(
+        jnp.log2(jnp.maximum(y_lik, 1e-9)) * y.mask[:, None], dtype=jnp.float32
+    )
+
+    # synthesis from the (de-gained) noisy latents with ground-truth k pruning
+    y_hat = y.with_feats(y_noisy / gain)
+    rgb, aux = model.g_s(params, y_hat, ks, return_logits=True)
+
+    # occupancy BCE per level against the true coordinate pyramid
+    occ_loss = jnp.float32(0.0)
+    for level, (cand, logits) in enumerate(aux):
+        factor = 2 ** (model.config.num_levels - 1 - level)  # 4, 2, 1
+        true_c, true_m = _coord_set_at_stride(block, factor)
+        _, found = coords_lib.find_coords(true_c, cand.coords, true_m, cand.mask)
+        target = found.astype(jnp.float32)
+        bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        occ_loss = occ_loss + jnp.sum(bce * cand.mask) / jnp.maximum(
+            jnp.sum(cand.mask.astype(jnp.float32)), 1.0
+        )
+
+    # color MSE on reconstructed voxels that exist in the input
+    true_cols = features_at_coordinates(block, rgb.coords, rgb.mask)[:, 1:4]
+    _, hit = coords_lib.find_coords(block.coords, rgb.coords, block.mask, rgb.mask)
+    w = (hit & rgb.mask).astype(jnp.float32)[:, None]
+    color_mse = jnp.sum(w * (rgb.feats - true_cols) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+
+    bpp = (z_bits + y_bits) / num_points
+    w_g = lambda_g * (0.1 + q[0])
+    w_a = lambda_a * (0.1 + q[1])
+    loss = bpp + w_g * occ_loss + w_a * color_mse
+    metrics = {
+        "bpp": bpp,
+        "occ_bce": occ_loss,
+        "color_mse": color_mse,
+        "y_bits": y_bits,
+        "z_bits": z_bits,
+    }
+    return loss, metrics

@@ -1,0 +1,88 @@
+"""Optax training step for the unified codec, vmapped over frames.
+
+The leading frame axis is the data-parallel axis; with inputs sharded over a
+``jax.sharding.Mesh`` (pct.parallel) the jitted step runs SPMD and XLA
+inserts the gradient ``psum`` over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pct.models.unified import ColorModel, Params
+from pct.sparse.block import SparseBlock
+from pct.train.losses import frame_rd_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    aux_weight: float = 1e-3
+    lambda_g: float = 1.0
+    lambda_a: float = 6.5
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adam(cfg.learning_rate)
+
+
+def batch_rd_loss(model: ColorModel, cfg: TrainConfig, params: Params, batch: SparseBlock, qs: jax.Array, keys: jax.Array):
+    """batch: SparseBlock with leading frame axis [B, N, ...]; qs [B, 2]."""
+    losses, metrics = jax.vmap(
+        lambda blk, q, k: frame_rd_loss(model, params, blk, q, k, cfg.lambda_g, cfg.lambda_a)
+    )(batch, qs, keys)
+    loss = jnp.mean(losses) + cfg.aux_weight * model.entropy_bottleneck.aux_loss(
+        params["entropy_bottleneck"]
+    )
+    return loss, jax.tree.map(jnp.mean, metrics)
+
+
+def make_train_step(model: ColorModel, cfg: TrainConfig, optimizer):
+    """Returns ``step(params, opt_state, batch, qs, key) -> (params, opt_state,
+    loss, metrics)`` — jit/pjit this with sharded inputs for multi-chip."""
+
+    def step(params, opt_state, batch: SparseBlock, qs, key):
+        b = qs.shape[0]
+        keys = jax.random.split(key, b)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: batch_rd_loss(model, cfg, p, batch, qs, keys), has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return step
+
+
+def frames_to_training_batch(frames, capacity: int) -> SparseBlock:
+    """Per-frame fixed-capacity blocks stacked on a leading axis (batch column
+    zero in every frame — the frame index lives in the leading axis)."""
+    import numpy as np
+    from pct.sparse.block import canonicalize
+
+    coords, feats, masks = [], [], []
+    for fr in frames:
+        pts = np.asarray(fr["points"], np.int32)[:capacity]
+        col = np.asarray(fr["colors"], np.float32)[:capacity]
+        n = pts.shape[0]
+        pad = capacity - n
+        c = np.concatenate([np.zeros((n, 1), np.int32), pts], axis=1)
+        f = np.concatenate([np.ones((n, 1), np.float32), col], axis=1)
+        c = np.concatenate([c, np.zeros((pad, 4), np.int32)], axis=0)
+        f = np.concatenate([f, np.zeros((pad, 4), np.float32)], axis=0)
+        m = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        blk = canonicalize(jnp.asarray(c), jnp.asarray(f), jnp.asarray(m), dedup=True)
+        coords.append(blk.coords)
+        feats.append(blk.feats)
+        masks.append(blk.mask)
+    return SparseBlock(
+        coords=jnp.stack(coords),
+        feats=jnp.stack(feats),
+        mask=jnp.stack(masks),
+        stride=1,
+    )

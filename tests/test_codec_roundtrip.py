@@ -1,0 +1,128 @@
+"""End-to-end codec round-trip — the TPU analog of the reference's
+``tests/test_pipeline.py`` (encode with the serial encoder, decode with the
+serial decoder), with actual asserts instead of eyeballing: lossless entropy
+round-trip of the latents, exact latent geometry, frame structure, and
+occupancy-count contract."""
+
+import numpy as np
+import jax
+import pytest
+
+from pct.models import ColorModel, UnifiedConfig, checkpoint
+from pct.pipeline import SerialDecoder, SerialEncoder, frames_to_block
+
+
+SMALL = UnifiedConfig(channels=(8, 12, 16), latent_channels=16, hyper_channels=8, scale_nn_hidden=8)
+
+
+def make_frames(rng, num_frames=2, n=300, extent=32):
+    frames = []
+    for _ in range(num_frames):
+        pts = np.unique(rng.integers(0, extent, (n, 3)).astype(np.int32), axis=0)
+        cols = rng.random((pts.shape[0], 3)).astype(np.float32)
+        frames.append({"points": pts, "colors": cols})
+    return frames
+
+
+@pytest.fixture(scope="module")
+def codec():
+    model = ColorModel(SMALL)
+    params = model.init_params(jax.random.key(0))
+    return SerialEncoder(model, params), SerialDecoder(model, params)
+
+
+def test_roundtrip_structure(codec, rng):
+    enc, dec = codec
+    frames = make_frames(rng)
+    settings = [[1.0, 0.0], [1.0, 1.0]]
+    levels, sideinfo = enc.compress(frames, settings)
+    assert len(levels) == 2
+    assert sideinfo["gop_info"]["num_frames"] == 2
+    assert all(v >= 0 for v in sideinfo["time_measurements"].values())
+
+    out_frames, dec_info = dec.decompress(levels[1])
+    assert len(out_frames) == 2
+    for fr, orig in zip(out_frames, frames):
+        # top-k contract: decoded point count == original voxel count exactly
+        assert fr["points"].shape[0] == orig["points"].shape[0]
+        assert fr["colors"].shape == (orig["points"].shape[0], 3)
+        assert fr["colors"].min() >= 0 and fr["colors"].max() <= 1
+    assert all(v >= 0 for v in dec_info["time_measurements"].values())
+
+
+def test_latent_geometry_exact(codec, rng):
+    """The decoded y/z coordinate sets must match the encoder's exactly."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=1, n=300)
+    levels, _ = enc.compress(frames, [[0.5, 0.5]])
+    lv = levels[0]
+
+    block = frames_to_block(frames)
+    y, ks = enc._analysis(enc.params, block, 1)
+    z = enc._hyper_analysis(enc.params, y)
+    ny, nz = int(y.count()), int(z.count())
+    assert lv.y_shape == ny and lv.z_shape == nz
+
+    from pct.gpcc import decode_points
+
+    got = {tuple(r) for r in (decode_points(lv.gpcc_strings[0]) * 8).tolist()}
+    want = {tuple(r.tolist()) for r in np.asarray(y.coords)[np.asarray(y.mask)][:, 1:]}
+    assert got == want
+
+
+def test_k_contract(codec, rng):
+    """Transmitted k values are the per-frame occupancy counts at strides 4,2,1."""
+    enc, _ = codec
+    frames = make_frames(rng, num_frames=3, n=300)
+    levels, _ = enc.compress(frames, [[1.0, 1.0]])
+    ks = np.asarray(levels[0].ks)  # [B, 3]
+    for b, fr in enumerate(frames):
+        pts = fr["points"]
+        for l, stride in enumerate([4, 2, 1]):
+            expect = len({tuple((p // stride).tolist()) for p in pts})
+            assert ks[b, l] == expect, (b, l)
+
+
+def test_decode_count_parity_across_rates(codec, rng):
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=2, n=300)
+    settings = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    levels, _ = enc.compress(frames, settings)
+    sizes = []
+    for lv in levels:
+        out, _ = dec.decompress(lv)
+        for fr, orig in zip(out, frames):
+            assert fr["points"].shape[0] == orig["points"].shape[0]
+        sizes.append(lv.num_bytes())
+    assert len(set(sizes)) >= 2  # different q -> different rate
+
+
+def test_bitstream_bytes_roundtrip(codec, rng):
+    from pct.entropy import unpack_segment
+
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=1, n=300)
+    data, _ = enc.compress_bytes(frames, [[1.0, 1.0]])
+    assert isinstance(data, bytes)
+    # the multi-level segment container round-trips; each level blob is what
+    # the media server stores and the decoder consumes directly
+    lv = unpack_segment(data)[0]
+    out, _ = dec.decompress(lv.pack())
+    assert out[0]["points"].shape[0] == frames[0]["points"].shape[0]
+
+
+def test_checkpoint_roundtrip(tmp_path, codec, rng):
+    enc, _ = codec
+    path = str(tmp_path / "model.msgpack")
+    checkpoint.save(path, enc.model, enc.params)
+    model2, params2 = checkpoint.load(path)
+    assert model2.config == enc.model.config
+    chex = __import__("chex")
+    chex.assert_trees_all_equal(params2, jax.tree.map(lambda x: x, enc.params))
+
+    # a decoder built from the loaded checkpoint decodes the encoder's stream
+    frames = make_frames(rng, num_frames=1, n=300)
+    levels, _ = enc.compress(frames, [[1.0, 1.0]])
+    dec2 = SerialDecoder(model2, params2)
+    out, _ = dec2.decompress(levels[0])
+    assert out[0]["points"].shape[0] == frames[0]["points"].shape[0]

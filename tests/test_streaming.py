@@ -1,0 +1,202 @@
+"""Streaming-layer tests: transport, MPD, raw packing, telemetry, downloader,
+capturer playback, end-to-end localhost integration (SURVEY.md §7 step 7)."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from pct.config import Config
+from pct.streaming import (
+    MPDManager,
+    MPDParser,
+    PullSocket,
+    PushSocket,
+    pack_raw_frames,
+    unpack_raw_frames,
+    sample_frames,
+)
+from pct.streaming.transport import dumps, loads
+from pct.utils import append_csv_row, flatten_dict
+
+
+BASE_PORT = 16500
+
+
+def addr(i):
+    return f"tcp://127.0.0.1:{BASE_PORT + i}"
+
+
+def test_msgpack_ndarray_roundtrip(rng):
+    msg = {
+        "points": rng.integers(-100, 100, (50, 3)).astype(np.int16),
+        "colors": rng.random((50, 3)).astype(np.float32),
+        "nested": {"a": 1, "t": 1.5},
+        "list": [1, 2, 3],
+    }
+    out = loads(dumps(msg))
+    np.testing.assert_array_equal(out["points"], msg["points"])
+    np.testing.assert_array_equal(out["colors"], msg["colors"])
+    assert out["nested"] == msg["nested"] and out["list"] == msg["list"]
+
+
+def test_push_pull_socket(rng):
+    pull = PullSocket(addr(0))
+    push = PushSocket(addr(0))
+    msgs = [{"i": i, "data": rng.random(10).astype(np.float32)} for i in range(5)]
+    for m in msgs:
+        push.send(m)
+    for m in msgs:
+        got = pull.recv(timeout=5)
+        assert got["i"] == m["i"]
+        np.testing.assert_array_equal(got["data"], m["data"])
+    push.close()
+    pull.close()
+
+
+def test_mpd_roundtrip(tmp_path):
+    m = MPDManager(segment_duration=1.0)
+    m.setup_adaptation_set()
+    m.add_representation(0, "raw")
+    m.add_representation(1, "unified", bandwidth=100)
+    m.update_metadata(1, 5555)
+    m.update_segment(42)
+    path = str(tmp_path / "manifest.mpd")
+    m.save_mpd(path)
+
+    parsed = MPDParser.parse_mpd(open(path, "rb").read())
+    assert parsed["type"] == "dynamic"
+    assert parsed["latestSegmentNumber"] == "42"
+    reps = parsed["periods"][0]["adaptation_sets"][0]["representations"]
+    assert {r["codecs"] for r in reps} == {"raw", "unified"}
+    assert [r for r in reps if r["id"] == "1"][0]["bandwidth"] == 5555
+    tmpl = parsed["periods"][0]["adaptation_sets"][0]["segment_template"]
+    assert tmpl["media"] == "ID$RepresentationID$/segment-$Number$.bin"
+
+
+def test_raw_frames_roundtrip(rng):
+    frames = [
+        {
+            "points": rng.integers(-300, 300, (40, 3)).astype(np.int16),
+            "colors": rng.integers(0, 255, (40, 3)).astype(np.uint8),
+        }
+        for _ in range(3)
+    ]
+    out = unpack_raw_frames(pack_raw_frames(frames))
+    assert len(out) == 3
+    for a, b in zip(out, frames):
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["colors"], b["colors"])
+
+
+def test_sample_frames_nearest():
+    frames = [{"timestamp": t} for t in [0.0, 0.25, 0.4, 0.8, 0.95]]
+    out = sample_frames(frames, 2, 0.0, 1.0)
+    assert [f["timestamp"] for f in out] == [0.25, 0.8]  # targets 0.25, 0.75
+
+
+def test_csv_telemetry(tmp_path):
+    path = str(tmp_path / "log.csv")
+    append_csv_row(path, {"ID": 1, "timestamps": {"a": 1.5}, "steps": [1, 2]})
+    append_csv_row(path, {"ID": 2, "timestamps": {"a": 2.5}, "steps": [3], "extra": 9})
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    assert list(df.columns) == ["ID", "timestamps_a", "steps"]
+    assert df["ID"].tolist() == [1, 2]
+
+
+def test_flatten_dict():
+    assert flatten_dict({"a": {"b": 1, "c": {"d": 2}}, "e": 3}) == {
+        "a_b": 1,
+        "a_c_d": 2,
+        "e": 3,
+    }
+
+
+def test_capturer_playback_paced():
+    from pct.streaming.capturer import Capturer
+
+    cfg = Config(
+        {
+            **Config.load(),
+            "mode": "playback",
+            "recording_path": "/root/reference/evaluation/data/test",
+            "encoder_address": addr(1),
+        }
+    )
+    if not os.path.isdir(cfg["recording_path"]):
+        pytest.skip("no recorded data")
+    pull = PullSocket(addr(1))
+    cap = Capturer(cfg)
+    threading.Thread(target=lambda: cap.run(max_frames=3), daemon=True).start()
+    frames = [pull.recv(timeout=10) for _ in range(3)]
+    assert all(f["points"].dtype == np.int16 for f in frames)
+    assert frames[0]["timestamp"] <= frames[1]["timestamp"] <= frames[2]["timestamp"]
+    pull.close()
+
+
+@pytest.mark.slow
+def test_end_to_end_streaming(tmp_path, rng):
+    """Full localhost loop: playback capture -> encode -> DASH publish ->
+    client download -> decode -> playout frames arrive at the visualizer
+    socket. Uses a tiny model so the neural path stays fast on CPU."""
+    import jax
+
+    from pct.models import ColorModel, UnifiedConfig
+    from pct.pipeline import CompressionPipeline, DecompressionPipeline
+    from pct.streaming.launch import SystemLauncher
+
+    cfg = Config.load()
+    cfg.update(
+        {
+            "mode": "playback",
+            "recording_path": "/root/reference/evaluation/data/test",
+            "target_fps": 2,
+            "segment_duration": 1.0,
+            "publish_offset": 0.5,
+            "playout_offset": 1.0,
+            "request_offset": 0.2,
+            "encoding_settings": [[1.0, 1.0]],
+            "encoder_address": addr(2),
+            "media_server_address": addr(3),
+            "decoder_address": addr(4),
+            "client_address": addr(5),
+            "visualizer_address": addr(6),
+            "media_server_port": BASE_PORT + 10,
+            "mpd_url": f"http://127.0.0.1:{BASE_PORT + 10}/manifest.mpd",
+            "media_dir": str(tmp_path / "media"),
+            "log_dir": str(tmp_path / "logs"),
+            "init_quality": 1,
+        }
+    )
+    if not os.path.isdir(cfg["recording_path"]):
+        pytest.skip("no recorded data")
+
+    model = ColorModel(
+        UnifiedConfig(channels=(4, 4, 8), latent_channels=8, hyper_channels=4, scale_nn_hidden=4)
+    )
+    params = model.init_params(jax.random.key(0))
+    enc_pipe = CompressionPipeline(model, params)
+    dec_pipe = DecompressionPipeline(model, params)
+
+    view_pull = PullSocket(addr(6))
+    launcher = SystemLauncher(cfg, enc_pipeline=enc_pipe, dec_pipeline=dec_pipe)
+    launcher.start(max_frames=14)
+
+    # a playout frame arriving at the visualizer socket proves the whole loop
+    msg = view_pull.recv(timeout=120)
+    buf = bytes(msg["frame"])
+    n = len(buf) // 15  # 12B float32 xyz + 3B rgb per point
+    assert n > 100, f"suspiciously small frame ({n} points)"
+
+    # receiver CSV row written
+    deadline = time.time() + 30
+    rx = os.path.join(cfg["log_dir"], "receiver", "log.csv")
+    while time.time() < deadline and not os.path.exists(rx):
+        time.sleep(0.5)
+    assert os.path.exists(rx)
+    launcher.stop()
+    view_pull.close()
