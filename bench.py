@@ -51,6 +51,10 @@ def load_frames(n=5):
 def main():
     import jax
 
+    # Persistent compile cache: the TPU relay serializes remote compiles at
+    # ~20-90 s per graph; cached runs skip all of it.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     log("devices:", jax.devices())
     from pct.models import ColorModel, UnifiedConfig
     from pct.pipeline import SerialDecoder, SerialEncoder

@@ -288,11 +288,15 @@ class ColorModel:
         p = params["g_s"]
         x = y_hat
         aux = []
+        from pct.ops.conv import build_kmap
+
         for i in range(self.config.num_levels):
             x = generative_conv_up(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"])
-            x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"])
+            # feature conv + occupancy head share one kernel map (same coords)
+            kmap = build_kmap(x, 3)
+            x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
             x = x.with_feats(jax.nn.relu(x.feats))
-            logits = sparse_conv(x, p[f"occ{i}"]["w"], p[f"occ{i}"]["b"]).feats[:, 0]
+            logits = sparse_conv(x, p[f"occ{i}"]["w"], p[f"occ{i}"]["b"], kmap=kmap).feats[:, 0]
             if return_logits:
                 aux.append((x, logits))
             keep = topk_per_batch_mask(x.coords[:, 0], logits, x.mask, ks[i])

@@ -54,25 +54,38 @@ def _gather_gemm(
     return jnp.where(out_mask[:, None], acc, 0)
 
 
+def build_kmap(block: SparseBlock, kernel_size: int) -> tuple[jax.Array, jax.Array]:
+    """Kernel map of a same-coordinate conv on ``block`` — build once and pass
+    to several ``sparse_conv`` calls over the same coordinate set (e.g. a
+    feature conv and its occupancy head in the decoder) to skip repeated
+    sorted searches (the kernel-map-reuse north star, BASELINE.json)."""
+    offs = kernel_offsets(kernel_size)
+    return build_kernel_map(block, block.coords, block.mask, offs, block.stride)
+
+
 def sparse_conv(
     block: SparseBlock,
     weight: jax.Array,
     bias: Optional[jax.Array] = None,
     out_coords: Optional[jax.Array] = None,
     out_mask: Optional[jax.Array] = None,
+    kmap: Optional[tuple[jax.Array, jax.Array]] = None,
 ) -> SparseBlock:
     """Same-stride sparse convolution.
 
     ``weight``: ``[K, C_in, C_out]`` with ``K = kernel_size^3``; kernel size is
     inferred from K. If ``out_coords`` is given (already canonical), the conv
-    is evaluated at those coordinates instead of the input's.
+    is evaluated at those coordinates instead of the input's. ``kmap`` reuses
+    a precomputed kernel map (see :func:`build_kmap`).
     """
     ksize = round(weight.shape[0] ** (1 / 3))
     assert ksize**3 == weight.shape[0], f"bad kernel taps {weight.shape[0]}"
-    offs = kernel_offsets(ksize)
     if out_coords is None:
         out_coords, out_mask = block.coords, block.mask
-    idx, found = build_kernel_map(block, out_coords, out_mask, offs, block.stride)
+    if kmap is None:
+        offs = kernel_offsets(ksize)
+        kmap = build_kernel_map(block, out_coords, out_mask, offs, block.stride)
+    idx, found = kmap
     feats = _gather_gemm(block.feats, idx, found, weight, bias, out_mask)
     return SparseBlock(coords=out_coords, feats=feats, mask=out_mask, stride=block.stride)
 

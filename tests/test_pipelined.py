@@ -1,0 +1,87 @@
+"""Pipelined codec correctness: byte parity with the serial codec and
+concurrent-segment behavior."""
+
+import numpy as np
+import jax
+import pytest
+
+from pct.models import ColorModel, UnifiedConfig
+from pct.pipeline import (
+    CompressionPipeline,
+    DecompressionPipeline,
+    SerialDecoder,
+    SerialEncoder,
+)
+
+TINY = UnifiedConfig(channels=(4, 4, 8), latent_channels=8, hyper_channels=4, scale_nn_hidden=4)
+
+
+def make_frames(rng, num_frames=2, n=300, extent=32):
+    frames = []
+    for _ in range(num_frames):
+        pts = np.unique(rng.integers(0, extent, (n, 3)).astype(np.int32), axis=0)
+        frames.append(
+            {"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)}
+        )
+    return frames
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ColorModel(TINY)
+    params = model.init_params(jax.random.key(0))
+    return model, params
+
+
+def test_pipelined_matches_serial_bytes(setup, rng):
+    model, params = setup
+    frames = make_frames(rng)
+    settings = [[1.0, 0.0], [1.0, 1.0]]
+    s_levels, _ = SerialEncoder(model, params).compress(frames, settings)
+    p_levels, p_info = CompressionPipeline(model, params).compress(frames, settings)
+    assert len(s_levels) == len(p_levels)
+    for a, b in zip(s_levels, p_levels):
+        assert a.pack() == b.pack()
+    assert set(p_info["time_measurements"]) >= {
+        "analysis",
+        "hyper_analysis",
+        "factorized_model",
+        "hyper_synthesis",
+        "gaussian_model",
+        "geometry_compression",
+        "bitstream_writing",
+    }
+
+
+def test_pipelined_decode_matches_serial(setup, rng):
+    model, params = setup
+    frames = make_frames(rng, num_frames=1)
+    levels, _ = SerialEncoder(model, params).compress(frames, [[0.5, 0.5]])
+    s_out, _ = SerialDecoder(model, params).decompress(levels[0])
+    p_out, _ = DecompressionPipeline(model, params).decompress(levels[0].pack())
+    assert len(s_out) == len(p_out)
+    for a, b in zip(s_out, p_out):
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_allclose(a["colors"], b["colors"], atol=1e-6)
+
+
+def test_pipelined_overlapping_segments(setup, rng):
+    """Concurrent compress calls from multiple threads all complete and each
+    returns its own segment (FIFO-safety of the stage queues)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    model, params = setup
+    pipe = CompressionPipeline(model, params)
+    batches = [make_frames(rng, num_frames=1) for _ in range(4)]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(pipe.compress, b, [[1.0, 1.0]]) for b in batches]
+        results = [f.result(timeout=300) for f in futs]
+    for (levels, info), frames in zip(results, batches):
+        assert levels[0].ks[0][2] == frames[0]["points"].shape[0]
+
+
+def test_pipelined_error_propagates(setup):
+    model, params = setup
+    pipe = DecompressionPipeline(model, params)
+    with pytest.raises(RuntimeError, match="stage failed"):
+        pipe.decompress(b"\x07garbage-bytes")
