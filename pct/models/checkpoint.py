@@ -25,7 +25,7 @@ def _to_plain(tree):
     return jax.tree.map(lambda a: np.asarray(a).tolist() if np.asarray(a).ndim == 0 else np.asarray(a), tree)
 
 
-def save(path: str, model: ColorModel, params: Params) -> None:
+def _flatten(params) -> dict:
     flat = {}
 
     def walk(prefix, node):
@@ -37,7 +37,36 @@ def save(path: str, model: ColorModel, params: Params) -> None:
             flat[prefix] = {"dtype": str(a.dtype), "shape": list(a.shape), "data": a.tobytes()}
 
     walk("", params)
-    blob = msgpack.packb({"config": model.config.to_dict(), "params": flat}, use_bin_type=True)
+    return flat
+
+
+def _unflatten(flat: dict, to_jax: bool = True):
+    out: dict = {}
+    for key, spec in flat.items():
+        a = np.frombuffer(spec["data"], dtype=spec["dtype"]).reshape(spec["shape"])
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(a) if to_jax else a
+    return out
+
+
+def save(path: str, model: ColorModel, params: Params, include_tables: bool = True) -> None:
+    """Write config + params (+ the quantized entropy CDF tables by default,
+    so encoder and decoder hosts share bit-identical coding tables instead of
+    each re-deriving them through float paths)."""
+    obj = {"config": model.config.to_dict(), "params": _flatten(params)}
+    if include_tables:
+        eb = model.entropy_bottleneck.update(params["entropy_bottleneck"])
+        gc = model.gaussian_conditional.update()
+        obj["tables"] = _flatten(
+            {
+                "eb": {"cdfs": eb.cdfs, "lengths": eb.lengths, "offsets": eb.offsets},
+                "gc": {"cdfs": gc.cdfs, "lengths": gc.lengths, "offsets": gc.offsets},
+            }
+        )
+    blob = msgpack.packb(obj, use_bin_type=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -45,15 +74,24 @@ def save(path: str, model: ColorModel, params: Params) -> None:
 
 
 def load(path: str) -> Tuple[ColorModel, Params]:
+    model, params, _ = load_with_tables(path)
+    return model, params
+
+
+def load_with_tables(path: str):
+    """Returns ``(model, params, tables | None)`` where tables is a dict of
+    :class:`pct.entropy.CdfTables` for keys ``eb`` and ``gc``."""
+    from pct.entropy import CdfTables
+
     with open(path, "rb") as f:
         obj = msgpack.unpackb(f.read(), raw=False)
     model = ColorModel(UnifiedConfig.from_dict(obj["config"]))
-    params: Params = {}
-    for key, spec in obj["params"].items():
-        a = np.frombuffer(spec["data"], dtype=spec["dtype"]).reshape(spec["shape"])
-        node = params
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(a)
-    return model, params
+    params = _unflatten(obj["params"])
+    tables = None
+    if "tables" in obj:
+        t = _unflatten(obj["tables"], to_jax=False)
+        tables = {
+            "eb": CdfTables(t["eb"]["cdfs"], t["eb"]["lengths"], t["eb"]["offsets"]),
+            "gc": CdfTables(t["gc"]["cdfs"], t["gc"]["lengths"], t["gc"]["offsets"]),
+        }
+    return model, params, tables

@@ -36,8 +36,8 @@ class CompressionPipeline:
     """Pipelined ``compress(frames, settings)`` (reference
     ``CompressionPipeline.compress``, ``codec_pipeline.py:196``)."""
 
-    def __init__(self, model: ColorModel, params: Params):
-        self._serial = SerialEncoder(model, params)
+    def __init__(self, model: ColorModel, params: Params, tables: dict | None = None):
+        self._serial = SerialEncoder(model, params, tables)
         self.q_in = NotifyingQueue()
         self.q_mid = NotifyingQueue()
         self.q_geo_in = NotifyingQueue()
@@ -188,8 +188,8 @@ class DecompressionPipeline:
     """Pipelined ``decompress(data)`` (reference
     ``DecompressionPipeline.decompress``, ``codec_parallel.py:141``)."""
 
-    def __init__(self, model: ColorModel, params: Params):
-        self._serial = SerialDecoder(model, params)
+    def __init__(self, model: ColorModel, params: Params, tables: dict | None = None):
+        self._serial = SerialDecoder(model, params, tables)
         self.q_in = NotifyingQueue()
         self.q_mid = NotifyingQueue()
         self.q_out = NotifyingQueue()

@@ -91,11 +91,15 @@ class SerialEncoder:
     """compress(frames, settings) -> (compressed_data, sideinfo) — the
     ``CompressionPipeline.compress`` surface (reference ``codec_single.py:47``)."""
 
-    def __init__(self, model: ColorModel, params: Params):
+    def __init__(self, model: ColorModel, params: Params, tables: dict | None = None):
         self.model = model
         self.params = params
-        self.eb_tables = model.entropy_bottleneck.update(params["entropy_bottleneck"])
-        self.gc_tables = model.gaussian_conditional.update()
+        # prefer checkpoint-shipped tables (bit-identical across hosts);
+        # rebuild locally otherwise (the reference's update()-at-load analog)
+        self.eb_tables = (tables or {}).get("eb") or model.entropy_bottleneck.update(
+            params["entropy_bottleneck"]
+        )
+        self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
 
     @functools.partial(jax.jit, static_argnames=("self", "num_frames"))
     def _analysis(self, params, block, num_frames):
@@ -226,11 +230,13 @@ class SerialDecoder:
     ``DecompressionPipeline.decompress`` surface (reference
     ``receiver/decoder/codec_single.py:44``)."""
 
-    def __init__(self, model: ColorModel, params: Params):
+    def __init__(self, model: ColorModel, params: Params, tables: dict | None = None):
         self.model = model
         self.params = params
-        self.eb_tables = model.entropy_bottleneck.update(params["entropy_bottleneck"])
-        self.gc_tables = model.gaussian_conditional.update()
+        self.eb_tables = (tables or {}).get("eb") or model.entropy_bottleneck.update(
+            params["entropy_bottleneck"]
+        )
+        self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _derive_z(self, y_block):

@@ -33,8 +33,9 @@ class Decoder:
         from pct.models import ColorModel, UnifiedConfig, checkpoint
 
         ckpt = self.config.get("checkpoint_path")
+        tables = None
         if ckpt:
-            model, params = checkpoint.load(ckpt)
+            model, params, tables = checkpoint.load_with_tables(ckpt)
         else:
             import jax
 
@@ -45,10 +46,10 @@ class Decoder:
         if self.config.get("decoder_type", "Pipelined") == "Single":
             from pct.pipeline import SerialDecoder
 
-            return SerialDecoder(model, params)
+            return SerialDecoder(model, params, tables)
         from pct.pipeline import DecompressionPipeline
 
-        return DecompressionPipeline(model, params)
+        return DecompressionPipeline(model, params, tables)
 
     # ------------------------------------------------------------------
     def decode_and_send(self, msg: dict) -> None:

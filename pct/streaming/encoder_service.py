@@ -48,14 +48,15 @@ class Encoder:
         from pct.pipeline import CompressionPipeline
 
         ckpt = self.config.get("checkpoint_path")
+        tables = None
         if ckpt:
-            model, params = checkpoint.load(ckpt)
+            model, params, tables = checkpoint.load_with_tables(ckpt)
         else:
             import jax
 
             model = ColorModel(UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32))
             params = model.init_params(jax.random.key(0))
-        return CompressionPipeline(model, params)
+        return CompressionPipeline(model, params, tables)
 
     # ------------------------------------------------------------------
     def process(self, frames: list[dict], seg_start: float, segment_id: int) -> None:

@@ -1,0 +1,112 @@
+"""Rate-distortion evaluation: bpp vs D1/D2/color PSNR over quality settings.
+
+The BASELINE parity harness: encodes recorded (or PLY) frames at a sweep of
+quality vectors, decodes, and reports bpp / D1 / D2 / color PSNR per rate
+point (optionally writing a CSV + RD plot). Compare against the reference's
+measured rates (BASELINE.md: ~2.98 bpp at q=[1,0], ~4.82 bpp at q=[0,1]).
+
+Usage:
+  python scripts/eval_rd.py [--data DIR|file.ply] [--ckpt PATH] [--frames N]
+      [--out rd.csv] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/evaluation/data/test")
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--settings",
+        default="1,0;0,1;1,1;0.25,0.25;0.5,0.5",
+        help="semicolon-separated q_g,q_a pairs",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    from pct.eval import bpp, color_psnr, d1_psnr, d2_psnr
+    from pct.models import ColorModel, UnifiedConfig, checkpoint
+    from pct.pipeline import SerialDecoder, SerialEncoder
+
+    if args.data.endswith(".ply"):
+        from pct.utils.ply import read_ply
+
+        pts, cols = read_ply(args.data)
+        frames = [{"points": pts.astype(np.int32), "colors": cols if cols is not None else np.ones_like(pts)}]
+    else:
+        from pct.streaming.capturer import load_recorded_frames
+
+        recs = load_recorded_frames(args.data)[: args.frames]
+        frames = [
+            {"points": f["points"].astype(np.int32), "colors": f["colors"].astype(np.float32)}
+            for f in recs
+        ]
+    num_points = sum(len(f["points"]) for f in frames)
+    extent = max(np.abs(f["points"]).max() for f in frames)
+    peak = float(2 ** int(np.ceil(np.log2(extent + 1))) - 1)
+    print(f"{len(frames)} frames, {num_points} points, peak={peak}", flush=True)
+
+    if args.ckpt:
+        model, params = checkpoint.load(args.ckpt)
+    else:
+        model = ColorModel(UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32))
+        params = model.init_params(jax.random.key(0))
+    enc, dec = SerialEncoder(model, params), SerialDecoder(model, params)
+
+    settings = [[float(x) for x in s.split(",")] for s in args.settings.split(";")]
+    levels, info = enc.compress(frames, settings)
+    rows = []
+    for lv in levels:
+        t0 = time.time()
+        out, _ = dec.decompress(lv)
+        dt = time.time() - t0
+        d1s, d2s, cps = [], [], []
+        for fr, orig in zip(out, frames):
+            d1s.append(d1_psnr(orig["points"], fr["points"], peak=peak))
+            d2s.append(d2_psnr(orig["points"], fr["points"], peak=peak))
+            cps.append(
+                color_psnr(orig["points"], orig["colors"], fr["points"], fr["colors"])
+            )
+        row = {
+            "q_g": lv.q_g,
+            "q_a": lv.q_a,
+            "bpp": round(bpp(lv.num_bytes(), num_points), 4),
+            "d1_psnr": round(float(np.mean(d1s)), 3),
+            "d2_psnr": round(float(np.mean(d2s)), 3),
+            "color_psnr": round(float(np.mean(cps)), 3),
+            "decode_s": round(dt, 3),
+        }
+        rows.append(row)
+        print(row, flush=True)
+
+    if args.out:
+        import csv
+
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print("wrote", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

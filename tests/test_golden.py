@@ -1,0 +1,43 @@
+"""Golden-file stability: the wire format and the full encode path must stay
+byte-identical across refactors (encoder regression) and decodable forever
+(decoder compatibility). Regenerate the fixture ONLY on deliberate format
+changes (see tests/golden/)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from pct.models import ColorModel, UnifiedConfig
+from pct.pipeline import SerialDecoder, SerialEncoder
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+TINY = UnifiedConfig(channels=(4, 4, 8), latent_channels=8, hyper_channels=4, scale_nn_hidden=4)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    data = open(os.path.join(GOLDEN_DIR, "segment_tiny.bin"), "rb").read()
+    inp = np.load(os.path.join(GOLDEN_DIR, "segment_tiny_input.npz"))
+    return data, inp
+
+
+def test_encoder_bytes_stable(golden):
+    data, inp = golden
+    model = ColorModel(TINY)
+    params = model.init_params(jax.random.key(0))
+    enc = SerialEncoder(model, params)
+    levels, _ = enc.compress(
+        [{"points": inp["points"], "colors": inp["colors"]}], [[1.0, 1.0]]
+    )
+    assert levels[0].pack() == data
+
+
+def test_decoder_reads_golden(golden):
+    data, inp = golden
+    model = ColorModel(TINY)
+    params = model.init_params(jax.random.key(0))
+    dec = SerialDecoder(model, params)
+    out, _ = dec.decompress(data)
+    assert out[0]["points"].shape[0] == inp["points"].shape[0]
