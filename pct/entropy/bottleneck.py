@@ -154,6 +154,19 @@ class EntropyBottleneck:
             lengths[c] = cdf.size
         return CdfTables(cdfs=cdfs, lengths=lengths, offsets=offsets)
 
+    def compress_symbols(self, tables: CdfTables, symbols: np.ndarray) -> bytes:
+        """Entropy-encode already-quantized symbols ``[C, N]``
+        (``round(x - median)``, typically computed on-device)."""
+        c, n = symbols.shape
+        indexes = np.repeat(np.arange(c, dtype=np.int32)[:, None], n, axis=1)
+        return rans.encode_with_indexes(symbols.astype(np.int32), indexes, *tables.astuple())
+
+    def decompress_symbols(self, tables: CdfTables, stream: bytes, n: int) -> np.ndarray:
+        """Inverse of :meth:`compress_symbols`; returns int32 ``[C, n]``."""
+        c = tables.cdfs.shape[0]
+        indexes = np.repeat(np.arange(c, dtype=np.int32)[:, None], n, axis=1)
+        return rans.decode_with_indexes(stream, indexes, *tables.astuple()).reshape(c, n)
+
     def compress(self, params: Params, tables: CdfTables, x: np.ndarray) -> bytes:
         """x: [C, N] float features -> rANS stream (symbols = round(x - median))."""
         med = np.asarray(self.medians(params), np.float64)

@@ -107,6 +107,12 @@ class GaussianConditional:
             lengths[r] = cdf.size
         return CdfTables(cdfs=cdfs, lengths=lengths, offsets=offsets)
 
+    def compress_symbols(self, tables: CdfTables, symbols: np.ndarray, indexes: np.ndarray) -> bytes:
+        """Entropy-encode already-quantized residual symbols (device-computed)."""
+        return rans.encode_with_indexes(
+            np.asarray(symbols, np.int32), indexes, *tables.astuple()
+        )
+
     def compress(
         self, tables: CdfTables, x: np.ndarray, indexes: np.ndarray, means: np.ndarray
     ) -> bytes:

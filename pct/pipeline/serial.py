@@ -2,24 +2,29 @@
 
 TPU-native counterpart of the reference's serial codecs
 (``sender/encoder/codec_single.py`` steps E1-E7 and
-``receiver/decoder/codec_single.py`` steps D1-D6): neural transforms run as
-jitted JAX stages on padded canonical blocks; entropy coding (rANS) and
-octree geometry coding run host-side on the valid row prefixes. Per-step
-wall-times are recorded with the reference's E*/D* naming so the telemetry
-and evaluation pipelines line up (SURVEY.md §5).
+``receiver/decoder/codec_single.py`` steps D1-D6), engineered for *minimum
+device dispatches and transfer bytes*: on deployments where the chip sits
+behind a link (PCIe, or a network relay as in this rig), per-op latency and
+device<->host bandwidth — not FLOPs — bound the pipeline.
 
-Encode (per GOP / segment, all frames batched along the coordinate batch
-column, every quality level coded from one shared analysis pass — the
-reference's multi-rate batching, ``codec_pipeline.py:397-437``):
+Encode = ONE fused device graph + one compact pack/pull:
+  [canonicalize -> g_a -> h_a -> on-device factorized quantization
+   (round(z - median), mathematically identical to the entropy round-trip the
+   reference performs through CompressAI, ``codec_pipeline.py:294-317``) ->
+   h_s -> per-quality gains/symbols/indexes]
+then host-side rANS + octree coding of int16/uint8 symbol planes.
 
-  E1 analysis g_a -> y, k counts     E2 hyper-analysis h_a -> z
-  E3 factorized bottleneck (z)       E4 hyper-synthesis h_s -> (scales, means)
-  E5 Gaussian conditional (y, per q) E6 octree geometry coding (y coords / 8)
-  E7 bitstream assembly
+Decode = host entropy decode feeding TWO fused device graphs:
+  phase 1: canonicalize y coords -> derive z -> hyper synthesis -> indexes
+  phase 2: offset dequantization -> g_s with per-frame top-k -> packed
+  int16 coords / uint8 colors.
 
-Decode mirrors: D1 bitstream read, D2 geometry decode, D3 factorized decode,
-D4 hyper-synthesis, D5 Gaussian decode + offset dequantization, D6 synthesis
-g_s with per-frame top-k pruning.
+Stage-capacity strategy: inside a fused graph the latent/hyper row capacities
+are static fractions of the input capacity (surface-like clouds shrink ~4-8x
+per stride level); a post-hoc count check falls back to full-capacity graphs
+in the rare overflow case. The reference's per-step timing telemetry is kept:
+device-fused steps report under E1/analysis (E2/E4 are fused and reported
+as 0 — see ``time_measurements`` docstrings).
 
 Determinism note: decode correctness requires encoder and decoder to agree on
 the Gaussian (scale, mean) parameters bit-wise. Both sides round them onto a
@@ -42,16 +47,27 @@ import numpy as np
 from pct.entropy.bitstream import SegmentBitstream, pack_segment, unpack_segment
 from pct.gpcc import decode_points, encode_points
 from pct.models.unified import ColorModel, Params
-from pct.sparse.block import SparseBlock, bucket_size, canonicalize, truncate_capacity
+from pct.sparse.block import SparseBlock, bucket_size, canonicalize
 from pct.sparse import coords as coords_lib
 
 PARAM_GRID = 256.0  # (scale, mean) quantization grid, see module docstring
+
+# Static capacity fractions for latent (stride-8) and hyper (stride-32) rows
+# relative to the input capacity. Overflow triggers a full-capacity fallback.
+Y_CAP_FRACTION = 4
+Z_CAP_FRACTION = 8
+SMALL_INPUT = 4096  # below this, skip fractional capacities entirely
 
 
 def frames_to_block(frames: Sequence[dict], capacity: int | None = None) -> SparseBlock:
     """Stack per-frame ``{"points": int [N,3], "colors": float [N,3]}`` dicts
     into one batched canonical block with features ``[1, R, G, B]``
     (constant-1 channel as in reference ``codec_pipeline.py:258``)."""
+    coords, feats, mask = _frames_to_arrays(frames, capacity)
+    return canonicalize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask), dedup=True)
+
+
+def _frames_to_arrays(frames: Sequence[dict], capacity: int | None = None):
     coords, feats = [], []
     for b, fr in enumerate(frames):
         pts = np.asarray(fr["points"], np.int32)
@@ -66,7 +82,7 @@ def frames_to_block(frames: Sequence[dict], capacity: int | None = None) -> Spar
     mask = np.concatenate([np.ones(coords.shape[0], bool), np.zeros(pad, bool)])
     coords = np.concatenate([coords, np.zeros((pad, 4), np.int32)], axis=0)
     feats = np.concatenate([feats, np.zeros((pad, feats.shape[1]), np.float32)], axis=0)
-    return canonicalize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask), dedup=True)
+    return coords, feats, mask
 
 
 def block_to_frames(block: SparseBlock, num_frames: int) -> list[dict]:
@@ -75,20 +91,41 @@ def block_to_frames(block: SparseBlock, num_frames: int) -> list[dict]:
     coords = np.asarray(block.coords)
     feats = np.asarray(block.feats)
     mask = np.asarray(block.mask)
+    return _split_frames(coords, feats, mask, num_frames)
+
+
+def _split_frames(coords, feats, mask, num_frames):
     out = []
     for b in range(num_frames):
         sel = mask & (coords[:, 0] == b)
         out.append(
             {
-                "points": coords[sel][:, 1:].copy(),
-                "colors": np.clip(feats[sel], 0.0, 1.0),
+                "points": coords[sel][:, 1:].astype(np.int32),
+                "colors": np.clip(feats[sel].astype(np.float32), 0.0, 1.0),
             }
         )
     return out
 
 
+def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
+    if cap >= block.capacity:
+        return block
+    return SparseBlock(
+        coords=block.coords[:cap],
+        feats=block.feats[:cap],
+        mask=block.mask[:cap],
+        stride=block.stride,
+    )
+
+
+def _caps_for(capacity: int) -> tuple[int, int]:
+    if capacity <= SMALL_INPUT:
+        return capacity, capacity
+    return capacity // Y_CAP_FRACTION, capacity // Z_CAP_FRACTION
+
+
 class SerialEncoder:
-    """compress(frames, settings) -> (compressed_data, sideinfo) — the
+    """compress(frames, settings) -> (levels, sideinfo) — the
     ``CompressionPipeline.compress`` surface (reference ``codec_single.py:47``)."""
 
     def __init__(self, model: ColorModel, params: Params, tables: dict | None = None):
@@ -101,121 +138,191 @@ class SerialEncoder:
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_frames"))
-    def _analysis(self, params, block, num_frames):
-        return self.model.g_a(params, block, num_frames)
+    # ------------------------------------------------------------------
+    # device stage: everything up to symbol planes, one dispatch
+    # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _hyper_analysis(self, params, y_block):
-        return self.model.h_a(params, y_block)
+    @functools.partial(jax.jit, static_argnames=("self", "num_frames", "cap_y", "cap_z"))
+    def _stage1(self, params, coords, feats, mask, qs, num_frames, cap_y, cap_z):
+        m = self.model
+        block = canonicalize(coords, feats, mask, dedup=True)
+        y, ks = m.g_a(params, block, num_frames)
+        ny = y.count()
+        num_points = block.count()
+        y = _static_truncate(y, cap_y)
+        z = m.h_a(params, y)
+        nz = z.count()
+        z = _static_truncate(z, cap_z)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _hyper_synthesis(self, params, z_block, y_coords, y_mask):
-        scales, means = self.model.h_s(params, z_block, y_coords, y_mask)
+        # on-device factorized quantization (== the CompressAI entropy
+        # round-trip the reference runs on host)
+        med = m.entropy_bottleneck.medians(params["entropy_bottleneck"])  # [Cz]
+        z_sym = jnp.round(z.feats - med[None, :])
+        z_sym = jnp.where(z.mask[:, None], z_sym, 0)
+        z_hat = z.with_feats(z_sym + med[None, :])
+
+        scales, means = m.h_s(params, z_hat, y.coords, y.mask)
         scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
         means = jnp.round(means * PARAM_GRID) / PARAM_GRID
-        scales = self.model.gaussian_conditional.lower_bound_scale(scales)
-        return scales, means
+        scales = m.gaussian_conditional.lower_bound_scale(scales)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _gain(self, params, q):
-        return self.model.scale_nn(params, q)
+        syms, idxs = [], []
+        for i in range(qs.shape[0]):  # static quality count
+            gain = m.scale_nn(params, qs[i])
+            sym = jnp.round(y.feats * gain[None, :] - means * gain[None, :])
+            sym = jnp.where(y.mask[:, None], sym, 0)
+            idx = m.gaussian_conditional.build_indexes(scales * gain[None, :])
+            syms.append(sym.astype(jnp.int16))
+            idxs.append(idx.astype(jnp.uint8))
+        return (
+            ks,
+            ny,
+            nz,
+            num_points,
+            y.coords,
+            jnp.stack(syms),
+            jnp.stack(idxs),
+            z_sym.astype(jnp.int16),
+        )
 
-    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]]):
-        """Returns ``(levels: list[SegmentBitstream], sideinfo: dict)``."""
-        t_codec_start = time.time()
+    @functools.partial(jax.jit, static_argnames=("self", "ny_cap", "nz_cap"))
+    def _pack(self, y_coords, y_syms, y_idxs, z_syms, ny_cap, nz_cap):
+        return (
+            y_coords[:ny_cap].astype(jnp.int32),
+            y_syms[:, :ny_cap],
+            y_idxs[:, :ny_cap],
+            z_syms[:nz_cap],
+        )
+
+    def device_encode(self, frames: Sequence[dict], settings) -> dict:
+        """Fused device pass -> compact host-side symbol planes (E1)."""
         num_frames = len(frames)
-        block = frames_to_block(frames)
-
-        # E1 analysis; capacities are re-tightened between stages so the hyper
-        # path never pays for stride-1 padding (host sync per stage, like the
-        # reference's torch.cuda.synchronize step boundaries)
-        t0 = time.time()
-        y, ks = self._analysis(self.params, block, num_frames)
-        ks_np = np.asarray(ks)  # [L, B]
-        ny = int(y.count())
-        y = truncate_capacity(y, bucket_size(ny))
-        t_analysis = time.time() - t0
-
-        # E2 hyper analysis
-        t0 = time.time()
-        z = self._hyper_analysis(self.params, y)
-        nz = int(z.count())
-        z = truncate_capacity(z, bucket_size(nz))
-        t_hyper_analysis = time.time() - t0
-
-        # E3 factorized bottleneck round-trip (encoder must see the decoder's z_hat)
-        t0 = time.time()
-        z_feats = np.asarray(z.feats)[:nz].T  # [C, nz]
-        eb = self.model.entropy_bottleneck
-        z_string = eb.compress(self.params["entropy_bottleneck"], self.eb_tables, z_feats)
-        z_hat = eb.decompress(self.params["entropy_bottleneck"], self.eb_tables, z_string, nz)
-        t_factorized = time.time() - t0
-
-        # E4 hyper synthesis at y coords
-        t0 = time.time()
-        z_hat_feats = jnp.zeros_like(z.feats).at[:nz].set(jnp.asarray(z_hat.T))
-        z_hat_block = z.with_feats(z_hat_feats)
-        scales, means = self._hyper_synthesis(self.params, z_hat_block, y.coords, y.mask)
-        jax.block_until_ready(scales)
-        t_hyper_synthesis = time.time() - t0
-
-        # E6 geometry: per-frame stride-8 latent coords / 8 (reference
-        # shared/utils.py:178 contract)
-        t0 = time.time()
-        y_coords_np = np.asarray(y.coords)[:ny]
-        gpcc_strings = []
-        for b in range(num_frames):
-            pts = y_coords_np[y_coords_np[:, 0] == b][:, 1:] // 8
-            gpcc_strings.append(encode_points(pts))
-        t_geometry = time.time() - t0
-
-        # E5 Gaussian conditional per quality level (multi-rate from one pass)
-        y_feats = np.asarray(y.feats)[:ny]
-        scales_np = np.asarray(scales)[:ny]
-        means_np = np.asarray(means)[:ny]
-        gc = self.model.gaussian_conditional
-        levels, t_gaussian, t_bitstream = [], 0.0, 0.0
-        for q in settings:
-            t0 = time.time()
-            gain = np.asarray(self._gain(self.params, jnp.asarray(q, jnp.float32)))
-            idx = np.asarray(gc.build_indexes(jnp.asarray(scales_np * gain)))
-            y_string = gc.compress(
-                self.gc_tables, y_feats * gain, idx, means_np * gain
+        coords, feats, mask = _frames_to_arrays(frames)
+        cap = coords.shape[0]
+        cap_y, cap_z = _caps_for(cap)
+        qs = jnp.asarray(np.asarray(settings, np.float32))
+        out = self._stage1(
+            self.params,
+            jnp.asarray(coords),
+            jnp.asarray(feats),
+            jnp.asarray(mask),
+            qs,
+            num_frames,
+            cap_y,
+            cap_z,
+        )
+        ks, ny, nz, num_points = (
+            np.asarray(out[0]),
+            int(out[1]),
+            int(out[2]),
+            int(out[3]),
+        )
+        if ny > cap_y or nz > cap_z:  # rare fallback: latents denser than 1/fraction
+            out = self._stage1(
+                self.params,
+                jnp.asarray(coords),
+                jnp.asarray(feats),
+                jnp.asarray(mask),
+                qs,
+                num_frames,
+                cap,
+                cap,
             )
-            t_gaussian += time.time() - t0
+            ks, ny, nz, num_points = (
+                np.asarray(out[0]),
+                int(out[1]),
+                int(out[2]),
+                int(out[3]),
+            )
+        ny_cap, nz_cap = min(bucket_size(ny), out[4].shape[0]), min(
+            bucket_size(nz), out[7].shape[0]
+        )
+        y_coords, y_syms, y_idxs, z_syms = jax.device_get(
+            self._pack(out[4], out[5], out[6], out[7], ny_cap, nz_cap)
+        )
+        return {
+            "num_frames": num_frames,
+            "num_points": num_points,
+            "ks": ks,
+            "ny": ny,
+            "nz": nz,
+            "y_coords": y_coords[:ny],
+            "y_syms": y_syms[:, :ny],
+            "y_idxs": y_idxs[:, :ny],
+            "z_syms": z_syms[:nz],
+        }
+
+    # ------------------------------------------------------------------
+    # host stage: entropy + geometry coding (E3, E5, E6, E7)
+    # ------------------------------------------------------------------
+
+    def host_encode(self, dev: dict, settings) -> tuple[list[SegmentBitstream], dict]:
+        times: dict[str, float] = {}
+        t0 = time.time()
+        z_string = self.model.entropy_bottleneck.compress_symbols(
+            self.eb_tables, dev["z_syms"].T
+        )
+        times["factorized_model"] = time.time() - t0
+
+        t0 = time.time()
+        gpcc_strings = []
+        yc = dev["y_coords"]
+        for b in range(dev["num_frames"]):
+            pts = yc[yc[:, 0] == b][:, 1:] // 8
+            gpcc_strings.append(encode_points(pts))
+        times["geometry_compression"] = time.time() - t0
+
+        gc = self.model.gaussian_conditional
+        levels = []
+        times["gaussian_model"] = times["bitstream_writing"] = 0.0
+        ks = dev["ks"]
+        for qi, q in enumerate(settings):
+            t0 = time.time()
+            y_string = gc.compress_symbols(
+                self.gc_tables,
+                dev["y_syms"][qi].ravel(),
+                dev["y_idxs"][qi].astype(np.int32).ravel(),
+            )
+            times["gaussian_model"] += time.time() - t0
             t0 = time.time()
             levels.append(
                 SegmentBitstream(
                     q_g=float(q[0]),
                     q_a=float(q[1]),
-                    y_shape=ny,
-                    z_shape=nz,
+                    y_shape=dev["ny"],
+                    z_shape=dev["nz"],
                     y_string=y_string,
                     z_string=z_string,
                     gpcc_strings=gpcc_strings,
-                    ks=[tuple(int(ks_np[l, b]) for l in range(ks_np.shape[0])) for b in range(num_frames)],
+                    ks=[
+                        tuple(int(ks[l, b]) for l in range(ks.shape[0]))
+                        for b in range(dev["num_frames"])
+                    ],
                 )
             )
-            t_bitstream += time.time() - t0
+            times["bitstream_writing"] += time.time() - t0
+        return levels, times
 
-        num_points = int(block.count())
+    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]]):
+        """Returns ``(levels: list[SegmentBitstream], sideinfo: dict)``.
+
+        ``time_measurements``: E2/E4 (hyper analysis/synthesis) run fused
+        inside the E1 device graph and are reported as 0.0."""
+        t_codec_start = time.time()
+        t0 = time.time()
+        dev = self.device_encode(frames, settings)
+        t_device = time.time() - t0
+        levels, times = self.host_encode(dev, settings)
+        times.update({"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0})
+
         total_bytes = sum(lv.num_bytes() for lv in levels)
         sideinfo = {
-            "num_points": num_points,
+            "num_points": dev["num_points"],
             "gop_info": {
-                "bpp": total_bytes * 8 / max(num_points, 1) / max(len(settings), 1),
-                "num_frames": num_frames,
+                "bpp": total_bytes * 8 / max(dev["num_points"], 1) / max(len(settings), 1),
+                "num_frames": dev["num_frames"],
             },
-            "time_measurements": {
-                "analysis": t_analysis,
-                "hyper_analysis": t_hyper_analysis,
-                "factorized_model": t_factorized,
-                "hyper_synthesis": t_hyper_synthesis,
-                "gaussian_model": t_gaussian,
-                "geometry_compression": t_geometry,
-                "bitstream_writing": t_bitstream,
-            },
+            "time_measurements": times,
             "timestamps": {"codec_start": t_codec_start, "codec_end": time.time()},
         }
         return levels, sideinfo
@@ -238,31 +345,44 @@ class SerialDecoder:
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _derive_z(self, y_block):
-        return self.model.derive_z_coords(y_block)
+    # ------------------------------------------------------------------
+    # device phase 1: coords -> hyper params -> coding indexes
+    # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _hyper_synthesis(self, params, z_block, y_coords, y_mask):
-        scales, means = self.model.h_s(params, z_block, y_coords, y_mask)
+    def _phase1(self, params, coords, mask, z_syms, q):
+        m = self.model
+        cdim = m.config.latent_channels
+        cap = coords.shape[0]
+        y = canonicalize(coords, jnp.zeros((cap, cdim), jnp.float32), mask).with_stride(8)
+        z = m.derive_z_coords(y)
+        med = m.entropy_bottleneck.medians(params["entropy_bottleneck"])
+        zf = jnp.zeros((z.capacity, med.shape[0]), jnp.float32)
+        zf = zf.at[: z_syms.shape[0]].set(z_syms.astype(jnp.float32))
+        zf = jnp.where(z.mask[:, None], zf + med[None, :], 0.0)
+        z = SparseBlock(coords=z.coords, feats=zf, mask=z.mask, stride=z.stride)
+
+        scales, means = m.h_s(params, z, y.coords, y.mask)
         scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
         means = jnp.round(means * PARAM_GRID) / PARAM_GRID
-        scales = self.model.gaussian_conditional.lower_bound_scale(scales)
-        return scales, means
-
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _gain(self, params, q):
-        return self.model.scale_nn(params, q)
+        scales = m.gaussian_conditional.lower_bound_scale(scales)
+        gain = m.scale_nn(params, q)
+        idx = m.gaussian_conditional.build_indexes(scales * gain[None, :]).astype(jnp.uint8)
+        return y, scales, means, idx
 
     @functools.partial(jax.jit, static_argnames=("self", "level_capacities"))
-    def _synthesis(self, params, y_block, ks, level_capacities):
-        return self.model.g_s(params, y_block, ks, level_capacities)
-
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _dequant(self, symbols, scales, means, gain):
-        offs = self.model.get_offsets(scales * gain)
-        mag = jnp.abs(symbols) + jnp.where(symbols == 0, 0.0, offs)
-        return jnp.sign(symbols) * mag / gain + means
+    def _phase2(self, params, y_block, scales, means, y_syms, q, ks, level_capacities):
+        m = self.model
+        gain = m.scale_nn(params, q)
+        sym = y_syms.astype(jnp.float32)
+        offs = m.get_offsets(scales * gain[None, :])
+        mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+        y_hat = jnp.sign(sym) * mag / gain[None, :] + means
+        y_hat = jnp.where(y_block.mask[:, None], y_hat, 0.0)
+        rgb = m.g_s(params, y_block.with_feats(y_hat), ks, level_capacities)
+        coords16 = rgb.coords.astype(jnp.int16)
+        colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
+        return coords16, colors8, rgb.mask
 
     def decompress(self, level: SegmentBitstream | bytes):
         t_codec_start = time.time()
@@ -273,7 +393,7 @@ class SerialDecoder:
         t_read = time.time() - t0
         num_frames = level.num_frames
 
-        # D2 geometry decode -> batched canonical y coords
+        # D2 geometry decode -> batched y coords (canonical sort on device)
         t0 = time.time()
         coords = []
         for b, g in enumerate(level.gpcc_strings):
@@ -283,63 +403,63 @@ class SerialDecoder:
             )
         coords = np.concatenate(coords, axis=0)
         assert coords.shape[0] == level.y_shape, "geometry/bitstream mismatch"
-        cap = bucket_size(coords.shape[0])
-        pad = cap - coords.shape[0]
-        mask = np.concatenate([np.ones(coords.shape[0], bool), np.zeros(pad, bool)])
+        ny = level.y_shape
+        ny_cap = bucket_size(ny)
+        pad = ny_cap - ny
+        mask = np.concatenate([np.ones(ny, bool), np.zeros(pad, bool)])
         coords = np.concatenate([coords, np.zeros((pad, 4), np.int32)], axis=0)
-        cdim = self.model.config.latent_channels
-        y_block = canonicalize(
-            jnp.asarray(coords), jnp.zeros((cap, cdim), jnp.float32), jnp.asarray(mask)
-        ).with_stride(8)
         t_geometry = time.time() - t0
 
-        # D3 factorized decode on derived z coords
+        # D3 factorized decode (host rANS -> device)
         t0 = time.time()
-        z_block = self._derive_z(y_block)
-        nz = int(z_block.count())
-        assert nz == level.z_shape, f"z count mismatch: {nz} != {level.z_shape}"
-        z_block = truncate_capacity(z_block, bucket_size(nz))
-        eb = self.model.entropy_bottleneck
-        z_hat = eb.decompress(self.params["entropy_bottleneck"], self.eb_tables, level.z_string, nz)
-        z_feats = jnp.zeros((z_block.capacity, z_hat.shape[0]), jnp.float32).at[:nz].set(
-            jnp.asarray(z_hat.T)
-        )
-        z_block = SparseBlock(
-            coords=z_block.coords, feats=z_feats, mask=z_block.mask, stride=z_block.stride
+        nz = level.z_shape
+        z_syms = self.model.entropy_bottleneck.decompress_symbols(
+            self.eb_tables, level.z_string, nz
+        ).T.astype(np.int16)  # [nz, Cz]
+        nz_cap = bucket_size(nz)
+        z_syms = np.concatenate(
+            [z_syms, np.zeros((nz_cap - nz, z_syms.shape[1]), np.int16)], axis=0
         )
         t_factorized = time.time() - t0
 
-        # D4 hyper synthesis
+        # D4 hyper synthesis + indexes (device phase 1)
         t0 = time.time()
-        scales, means = self._hyper_synthesis(self.params, z_block, y_block.coords, y_block.mask)
-        jax.block_until_ready(scales)
+        q = jnp.asarray([level.q_g, level.q_a], jnp.float32)
+        y_block, scales, means, idx_dev = self._phase1(
+            self.params, jnp.asarray(coords), jnp.asarray(mask), jnp.asarray(z_syms), q
+        )
+        idx = np.asarray(idx_dev)
         t_hyper = time.time() - t0
 
-        # D5 Gaussian decode + offset dequantization
+        # D5 Gaussian decode (host rANS) -> device symbols
         t0 = time.time()
-        ny = level.y_shape
-        gain = self._gain(self.params, jnp.asarray([level.q_g, level.q_a], jnp.float32))
-        gain_np = np.asarray(gain)
-        scales_np = np.asarray(scales)[:ny]
-        gc = self.model.gaussian_conditional
-        idx = np.asarray(gc.build_indexes(jnp.asarray(scales_np * gain_np)))
-        symbols = gc.decompress(self.gc_tables, level.y_string, idx)
-        y_hat_valid = self._dequant(
-            jnp.asarray(symbols), jnp.asarray(scales_np), jnp.asarray(means)[:ny], gain
+        symbols = self.model.gaussian_conditional.decompress(
+            self.gc_tables, level.y_string, idx[:ny].astype(np.int32)
+        ).astype(np.int16)
+        y_syms = np.concatenate(
+            [symbols, np.zeros((ny_cap - ny, symbols.shape[1]), np.int16)], axis=0
         )
-        y_feats = jnp.zeros((y_block.capacity, y_hat_valid.shape[1]), jnp.float32).at[
-            :ny
-        ].set(y_hat_valid)
-        y_block = y_block.with_feats(y_feats)
         t_gaussian = time.time() - t0
 
         # D6 synthesis with per-frame top-k pruning
         t0 = time.time()
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
         caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
-        rgb = self._synthesis(self.params, y_block, jnp.asarray(ks), caps)
-        jax.block_until_ready(rgb.feats)
-        frames = block_to_frames(rgb, num_frames)
+        coords16, colors8, out_mask = jax.device_get(
+            self._phase2(
+                self.params,
+                y_block,
+                scales,
+                means,
+                jnp.asarray(y_syms),
+                q,
+                jnp.asarray(ks),
+                caps,
+            )
+        )
+        frames = _split_frames(
+            coords16.astype(np.int32), colors8.astype(np.float32) / 255.0, out_mask, num_frames
+        )
         t_synth = time.time() - t0
 
         sideinfo = {

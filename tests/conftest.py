@@ -22,7 +22,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is dominated by XLA:CPU compiles of the
 # jitted codec graphs; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pct_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/pct_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

@@ -57,16 +57,13 @@ def test_latent_geometry_exact(codec, rng):
     levels, _ = enc.compress(frames, [[0.5, 0.5]])
     lv = levels[0]
 
-    block = frames_to_block(frames)
-    y, ks = enc._analysis(enc.params, block, 1)
-    z = enc._hyper_analysis(enc.params, y)
-    ny, nz = int(y.count()), int(z.count())
-    assert lv.y_shape == ny and lv.z_shape == nz
+    dev = enc.device_encode(frames, [[0.5, 0.5]])
+    assert lv.y_shape == dev["ny"] and lv.z_shape == dev["nz"]
 
     from pct.gpcc import decode_points
 
     got = {tuple(r) for r in (decode_points(lv.gpcc_strings[0]) * 8).tolist()}
-    want = {tuple(r.tolist()) for r in np.asarray(y.coords)[np.asarray(y.mask)][:, 1:]}
+    want = {tuple(r.tolist()) for r in dev["y_coords"][:, 1:]}
     assert got == want
 
 
