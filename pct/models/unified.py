@@ -223,17 +223,30 @@ class ColorModel:
         )
 
     def h_s(self, params: Params, z: SparseBlock, y_coords: jax.Array, y_mask: jax.Array):
-        """Hyper synthesis: upsample z twice and join Gaussian params onto the
-        y coordinates. Returns ``(scales, means)`` with shape [Ny, C]."""
+        """Hyper synthesis: upsample z twice and produce Gaussian params at
+        the y coordinates. Returns ``(scales, means)`` with shape [Ny, C].
+
+        The stride-16 level is materialized (8x the tiny z set); the final
+        up+conv level is evaluated lazily at the y coordinates only
+        (:func:`pct.ops.conv.generative_up_conv_at`) instead of materializing
+        the 64x stride-8 candidate set and joining (the reference's
+        ``features_at_coordinates`` pattern, ``codec_parallel.py:387``) —
+        identical math, O(ny) instead of O(64 nz) compute/memory."""
+        from pct.ops.conv import generative_up_conv_at
+
         p = params["h_s"]
         h = generative_conv_up(z, p["up0"]["w"], p["up0"]["b"])
         h = sparse_conv(h, p["conv0"]["w"], p["conv0"]["b"])
         h = h.with_feats(jax.nn.relu(h.feats))
-        h = generative_conv_up(h, p["up1"]["w"], p["up1"]["b"])
-        h = sparse_conv(h, p["conv1"]["w"], p["conv1"]["b"])
-        from pct.sparse.block import features_at_coordinates
-
-        gp = features_at_coordinates(h, y_coords, y_mask)
+        gp = generative_up_conv_at(
+            h,
+            p["up1"]["w"],
+            p["up1"]["b"],
+            p["conv1"]["w"],
+            p["conv1"]["b"],
+            y_coords,
+            y_mask,
+        )
         scales_raw, means = jnp.split(gp, 2, axis=-1)
         scales = jax.nn.softplus(scales_raw) + 1e-4
         return scales, means

@@ -31,6 +31,10 @@ from pct.sparse.block import PAD_COORD, SparseBlock
 from pct.ops.kernel_maps import build_kernel_map, kernel_offsets
 
 
+K_CHUNK = 9  # taps materialized per gather (27 = 3 chunks); bounds the
+# [N*K_CHUNK, C_in] gather intermediate that HBM has to hold per conv
+
+
 def _gather_gemm(
     feats: jax.Array,
     idx: jax.Array,
@@ -41,14 +45,23 @@ def _gather_gemm(
 ) -> jax.Array:
     """sum_k feats[idx[:, k]] @ weight[k] with missing taps zeroed.
 
-    One gather + one K-contracted einsum: the contraction folds the K*C_in
-    dims into a single [N, K*C_in] @ [K*C_in, C_out] MXU matmul and keeps the
-    traced graph small (a per-tap Python loop makes jaxprs/compile blow up
-    ~K-fold through vmap+grad)."""
-    gathered = feats[idx] * found[..., None].astype(feats.dtype)  # [N, K, Cin]
-    acc = jnp.einsum(
-        "nkc,kcd->nd", gathered, weight, preferred_element_type=feats.dtype
-    )
+    Gathers K_CHUNK taps at a time and contracts each chunk as one
+    [N, K_CHUNK*C_in] @ [K_CHUNK*C_in, C_out] MXU matmul. Missing taps gather
+    an appended all-zero row instead of a mask broadcast (a [N, K, C]
+    mask-multiply materializes the full tap tensor — at 1M rows that was an
+    OOM on 16 GB HBM). Chunking keeps both the peak intermediate and the
+    traced graph size bounded."""
+    k, cin, cout = weight.shape
+    n = idx.shape[0]
+    table = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    safe_idx = jnp.where(found, idx, feats.shape[0])  # missing -> zero row
+    acc = jnp.zeros((n, cout), feats.dtype)
+    for k0 in range(0, k, K_CHUNK):
+        kc = min(K_CHUNK, k - k0)
+        g = table[safe_idx[:, k0 : k0 + kc].reshape(-1)]  # [N*kc, Cin]
+        g = g.reshape(n, kc * cin)
+        w = weight[k0 : k0 + kc].reshape(kc * cin, cout)
+        acc = acc + jnp.dot(g, w, preferred_element_type=feats.dtype)
     if bias is not None:
         acc = acc + bias
     return jnp.where(out_mask[:, None], acc, 0)
@@ -174,6 +187,75 @@ def generative_conv_up(
         mask=child_mask[perm],
         stride=child_stride,
     )
+
+
+def generative_up_conv_at(
+    block: SparseBlock,
+    up_weight: jax.Array,
+    up_bias: Optional[jax.Array],
+    conv_weight: jax.Array,
+    conv_bias: Optional[jax.Array],
+    out_coords: jax.Array,
+    out_mask: jax.Array,
+    factor: int = 2,
+) -> jax.Array:
+    """Fused [generative up-conv -> same-grid conv] evaluated ONLY at
+    ``out_coords`` (half the stride of ``block``).
+
+    Every candidate child of a generative up has exactly one parent, so the
+    up value at any coordinate q is a single parent gather + the tap weight
+    selected by q's position within the parent cell. The following conv at
+    ``out_coords`` then needs up values only at its K taps — ``K * N_out``
+    rows total, independent of how many candidates a materialized upsample
+    would create. This is how hyper-synthesis avoids building the full
+    stride-8 candidate set it would immediately discard (the reference
+    instead materializes it and joins with ``features_at_coordinates``,
+    ``codec_parallel.py:387``).
+
+    Returns features ``[N_out, C_out]``.
+    """
+    child_stride = block.stride // factor
+    ksize = round(conv_weight.shape[0] ** (1 / 3))
+    offs = kernel_offsets(ksize)  # conv taps, in child-stride units
+    koff = jnp.asarray(offs, jnp.int32) * jnp.int32(child_stride)
+    koff4 = jnp.concatenate([jnp.zeros((koff.shape[0], 1), jnp.int32), koff], axis=1)
+    n_out, k = out_coords.shape[0], koff.shape[0]
+
+    # queries q = out + tap offset (positions where the conv samples up values)
+    q = (out_coords[:, None, :] + koff4[None, :, :]).reshape(n_out * k, 4)
+    qmask = jnp.broadcast_to(out_mask[:, None], (n_out, k)).reshape(-1)
+
+    # each q's unique parent on the block's grid + its tap inside the cell
+    step = jnp.int32(block.stride)
+    pxyz = jnp.floor_divide(q[:, 1:], step) * step
+    parents = jnp.concatenate([q[:, :1], pxyz], axis=1)
+    cell = jnp.floor_divide(q[:, 1:] - pxyz, jnp.int32(child_stride))  # 0/1 per axis
+    tap = (cell[:, 0] * factor + cell[:, 1]) * factor + cell[:, 2]  # matches kernel_offsets(2)
+
+    idx, found = coords_lib.find_coords(block.coords, parents, block.mask, qmask)
+    # Premultiply the (small) parent table by all f^3 tap weights, then fetch
+    # (parent, tap) pairs with a single gather — avoids a [N*K, Cin, C_mid]
+    # per-row weight materialization.
+    f3 = up_weight.shape[0]
+    premul = jnp.einsum(
+        "nc,tcd->ntd", block.feats, up_weight, preferred_element_type=block.feats.dtype
+    )
+    if up_bias is not None:
+        premul = premul + up_bias
+    c_mid_ = premul.shape[-1]
+    premul = premul.reshape(block.capacity * f3, c_mid_)
+    premul = jnp.concatenate([premul, jnp.zeros((1, c_mid_), premul.dtype)], axis=0)
+    flat = jnp.where(found, idx * f3 + tap, block.capacity * f3)
+    up_vals = premul[flat]  # [N*K, C_mid]; absent candidate == zero row
+
+    c_mid = up_vals.shape[1]
+    g = up_vals.reshape(n_out, k * c_mid)
+    out = jnp.dot(
+        g, conv_weight.reshape(k * c_mid, -1), preferred_element_type=up_vals.dtype
+    )
+    if conv_bias is not None:
+        out = out + conv_bias
+    return jnp.where(out_mask[:, None], out, 0)
 
 
 def prune_block(block: SparseBlock, keep: jax.Array) -> SparseBlock:

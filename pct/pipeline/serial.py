@@ -55,7 +55,7 @@ PARAM_GRID = 256.0  # (scale, mean) quantization grid, see module docstring
 # Static capacity fractions for latent (stride-8) and hyper (stride-32) rows
 # relative to the input capacity. Overflow triggers a full-capacity fallback.
 Y_CAP_FRACTION = 4
-Z_CAP_FRACTION = 8
+Z_CAP_FRACTION = 32
 SMALL_INPUT = 4096  # below this, skip fractional capacities entirely
 
 
