@@ -45,12 +45,23 @@ from pct.ops import (
     counts_per_batch,
     downsample_coords,
     generative_conv_up,
+    kernel_offsets,
     prune_block,
     sparse_conv,
     sparse_conv_down,
     topk_per_batch_mask,
 )
+from pct.ops.conv import up_features_at as _up_features_at
 from pct.sparse.block import SparseBlock, truncate_capacity
+
+_KOFFS8 = None
+
+
+def kernel_offsets_cached(k: int):
+    global _KOFFS8
+    if _KOFFS8 is None:
+        _KOFFS8 = kernel_offsets(2)
+    return _KOFFS8
 
 Params = Dict[str, Any]
 
@@ -158,9 +169,12 @@ class ColorModel:
                 "w": _conv_init(next(keys), 27, c, c),
                 "b": jnp.zeros((c,), jnp.float32),
             }
+            # occupancy head scores all 8 child slots from the PARENT features
+            # (dense [C_in, 8]); pruning happens before child features exist,
+            # so synthesis compute scales with k, not with the 8x candidate set
             p["g_s"][f"occ{i}"] = {
-                "w": _conv_init(next(keys), 27, c, 1),
-                "b": jnp.zeros((1,), jnp.float32),
+                "w": _dense_init(next(keys), cin, 8),
+                "b": jnp.zeros((8,), jnp.float32),
             }
             cin = c
         p["g_s"]["rgb"] = {
@@ -181,11 +195,25 @@ class ColorModel:
     # Transforms
     # ------------------------------------------------------------------
 
-    def g_a(self, params: Params, block: SparseBlock, num_frames: int):
+    def g_a(
+        self,
+        params: Params,
+        block: SparseBlock,
+        num_frames: int,
+        level_caps: Sequence[int] | None = None,
+    ):
         """Analysis transform. Returns ``(y_block, ks)`` where ``ks`` is an
         int32 ``[num_levels, num_frames]`` array of ground-truth occupied
         counts at the decoder's upsampling output levels, ordered coarse ->
-        fine (stride 4, 2, 1) to match the bitstream's (k1, k2, k3)."""
+        fine (stride 4, 2, 1) to match the bitstream's (k1, k2, k3).
+
+        ``level_caps``: optional static row capacities applied after each
+        downsample (surface clouds shrink ~3-4x per stride level; blocks are
+        canonical valid-first so a static slice only drops padding). Callers
+        must verify the returned counts fit the caps (the serial encoder
+        falls back to uncapped on overflow)."""
+        from pct.sparse.block import truncate_capacity
+
         p = params["g_a"]
         x = block
         counts = []  # counts at stride 1, 2, 4 (before each downsample)
@@ -195,6 +223,8 @@ class ColorModel:
             h = h.with_feats(jax.nn.relu(h.feats))
             x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
             x = x.with_feats(jax.nn.relu(x.feats))
+            if level_caps is not None:
+                x = truncate_capacity(x, level_caps[i])
         y = sparse_conv(x, p["out"]["w"], p["out"]["b"])
         ks = jnp.stack(list(reversed(counts)), axis=0)  # [L, B]: stride 4, 2, 1
         return y, ks
@@ -295,27 +325,59 @@ class ColorModel:
         ``ks``: int32 [num_levels, B], coarse->fine. ``level_capacities``:
         static per-level row capacities (decode-side, derived from the
         transmitted k values); defaults to the full 8x expansions.
-        Returns the reconstructed stride-1 block (RGB features), plus the
-        per-level (candidate blocks, occupancy logits) when
-        ``return_logits`` (training)."""
+
+        Predict-then-expand: each level scores all 8 child slots from the
+        *parent* features with a dense head, prunes to exactly ``ks[level]``
+        per frame, and only then materializes features for the survivors
+        (fused parent-gather up-conv) followed by a 27-tap conv. The
+        reference materializes/convolves the full 8x candidate set before
+        classifying (``codec_parallel.py:465-472``); scoring on parents keeps
+        all compute proportional to the transmitted k counts — same k
+        contract, TPU-native ordering.
+
+        Returns the reconstructed stride-1 block (RGB features), plus
+        per-level ``(cand_coords, cand_mask, logits)`` for the 8x candidate
+        grids when ``return_logits`` (training)."""
+        from pct.ops.conv import build_kmap
+        from pct.sparse import coords as coords_lib
+        from pct.sparse.block import PAD_COORD
+
         p = params["g_s"]
         x = y_hat
         aux = []
-        from pct.ops.conv import build_kmap
-
         for i in range(self.config.num_levels):
-            x = generative_conv_up(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"])
-            # feature conv + occupancy head share one kernel map (same coords)
+            n = x.capacity
+            child_stride = x.stride // 2
+            # score all 8 children of every parent
+            logits = x.feats @ p[f"occ{i}"]["w"] + p[f"occ{i}"]["b"]  # [N, 8]
+            offs = jnp.asarray(kernel_offsets_cached(2), jnp.int32) * jnp.int32(child_stride)
+            child_xyz = x.coords[:, None, 1:] + offs[None, :, :]
+            child_b = jnp.broadcast_to(x.coords[:, None, :1], (n, 8, 1))
+            cand_coords = jnp.concatenate([child_b, child_xyz], axis=2).reshape(n * 8, 4)
+            cand_mask = jnp.broadcast_to(x.mask[:, None], (n, 8)).reshape(n * 8)
+            cand_coords = jnp.where(
+                cand_mask[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
+            )
+            flat_logits = logits.reshape(n * 8)
+            if return_logits:
+                aux.append((cand_coords, cand_mask, flat_logits))
+            keep = topk_per_batch_mask(cand_coords[:, 0], flat_logits, cand_mask, ks[i])
+
+            # compact survivors into canonical order (coords only — no feats yet)
+            kept_mask = cand_mask & keep
+            kc = jnp.where(kept_mask[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :])
+            perm = coords_lib.lex_argsort(kc, kept_mask)
+            kc, km = kc[perm], kept_mask[perm]
+            if level_capacities is not None:
+                cap = level_capacities[i]
+                kc, km = kc[:cap], km[:cap]
+
+            # features for survivors only: fused parent gather + tap weight
+            feats = _up_features_at(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], kc, km)
+            x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
             kmap = build_kmap(x, 3)
             x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
             x = x.with_feats(jax.nn.relu(x.feats))
-            logits = sparse_conv(x, p[f"occ{i}"]["w"], p[f"occ{i}"]["b"], kmap=kmap).feats[:, 0]
-            if return_logits:
-                aux.append((x, logits))
-            keep = topk_per_batch_mask(x.coords[:, 0], logits, x.mask, ks[i])
-            x = prune_block(x, keep)
-            if level_capacities is not None:
-                x = truncate_capacity(x, level_capacities[i])
         rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"])
         if return_logits:
             return rgb, aux

@@ -189,6 +189,42 @@ def generative_conv_up(
     )
 
 
+def up_features_at(
+    block: SparseBlock,
+    up_weight: jax.Array,
+    up_bias: Optional[jax.Array],
+    out_coords: jax.Array,
+    out_mask: jax.Array,
+    factor: int = 2,
+) -> jax.Array:
+    """Generative up-conv features evaluated at given child coordinates.
+
+    Each child has exactly one parent: premultiply the parent feature table
+    by all ``factor^3`` tap weights, then fetch (parent, tap) rows with one
+    gather. Children whose parent is absent (or masked rows) get zeros.
+    Returns ``[N_out, C_out]``.
+    """
+    child_stride = block.stride // factor
+    step = jnp.int32(block.stride)
+    pxyz = jnp.floor_divide(out_coords[:, 1:], step) * step
+    parents = jnp.concatenate([out_coords[:, :1], pxyz], axis=1)
+    cell = jnp.floor_divide(out_coords[:, 1:] - pxyz, jnp.int32(child_stride))
+    tap = (cell[:, 0] * factor + cell[:, 1]) * factor + cell[:, 2]
+
+    idx, found = coords_lib.find_coords(block.coords, parents, block.mask, out_mask)
+    f3 = up_weight.shape[0]
+    premul = jnp.einsum(
+        "nc,tcd->ntd", block.feats, up_weight, preferred_element_type=block.feats.dtype
+    )
+    if up_bias is not None:
+        premul = premul + up_bias
+    c_out = premul.shape[-1]
+    premul = premul.reshape(block.capacity * f3, c_out)
+    premul = jnp.concatenate([premul, jnp.zeros((1, c_out), premul.dtype)], axis=0)
+    flat = jnp.where(found & out_mask, idx * f3 + tap, block.capacity * f3)
+    return premul[flat]
+
+
 def generative_up_conv_at(
     block: SparseBlock,
     up_weight: jax.Array,

@@ -52,10 +52,11 @@ from pct.sparse import coords as coords_lib
 
 PARAM_GRID = 256.0  # (scale, mean) quantization grid, see module docstring
 
-# Static capacity fractions for latent (stride-8) and hyper (stride-32) rows
-# relative to the input capacity. Overflow triggers a full-capacity fallback.
-Y_CAP_FRACTION = 4
-Z_CAP_FRACTION = 32
+# Static capacity fractions per stride level relative to the input capacity
+# (surface-like clouds shrink ~3-4x per level). Overflow triggers a
+# full-capacity fallback, verified against the returned occupancy counts.
+LEVEL_CAP_FRACTIONS = (2, 8, 16)  # after down0 (stride 2), down1 (4), down2 (8=y)
+Z_CAP_FRACTION = 64
 SMALL_INPUT = 4096  # below this, skip fractional capacities entirely
 
 
@@ -118,10 +119,14 @@ def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
     )
 
 
-def _caps_for(capacity: int) -> tuple[int, int]:
+def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:
+    """(per-level g_a caps, z cap) for a given input capacity."""
     if capacity <= SMALL_INPUT:
-        return capacity, capacity
-    return capacity // Y_CAP_FRACTION, capacity // Z_CAP_FRACTION
+        return (capacity,) * len(LEVEL_CAP_FRACTIONS), capacity
+    return (
+        tuple(capacity // f for f in LEVEL_CAP_FRACTIONS),
+        capacity // Z_CAP_FRACTION,
+    )
 
 
 class SerialEncoder:
@@ -142,14 +147,15 @@ class SerialEncoder:
     # device stage: everything up to symbol planes, one dispatch
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_frames", "cap_y", "cap_z"))
-    def _stage1(self, params, coords, feats, mask, qs, num_frames, cap_y, cap_z):
+    @functools.partial(
+        jax.jit, static_argnames=("self", "num_frames", "level_caps", "cap_z")
+    )
+    def _stage1(self, params, coords, feats, mask, qs, num_frames, level_caps, cap_z):
         m = self.model
         block = canonicalize(coords, feats, mask, dedup=True)
-        y, ks = m.g_a(params, block, num_frames)
+        y, ks = m.g_a(params, block, num_frames, level_caps)
         ny = y.count()
         num_points = block.count()
-        y = _static_truncate(y, cap_y)
         z = m.h_a(params, y)
         nz = z.count()
         z = _static_truncate(z, cap_z)
@@ -199,7 +205,7 @@ class SerialEncoder:
         num_frames = len(frames)
         coords, feats, mask = _frames_to_arrays(frames)
         cap = coords.shape[0]
-        cap_y, cap_z = _caps_for(cap)
+        level_caps, cap_z = _caps_for(cap)
         qs = jnp.asarray(np.asarray(settings, np.float32))
         out = self._stage1(
             self.params,
@@ -208,7 +214,7 @@ class SerialEncoder:
             jnp.asarray(mask),
             qs,
             num_frames,
-            cap_y,
+            level_caps,
             cap_z,
         )
         ks, ny, nz, num_points = (
@@ -217,7 +223,17 @@ class SerialEncoder:
             int(out[2]),
             int(out[3]),
         )
-        if ny > cap_y or nz > cap_z:  # rare fallback: latents denser than 1/fraction
+        # overflow check: ks rows are occupancies at strides (4, 2, 1); the
+        # capped levels hold strides (2, 4, 8=y)
+        # ">= cap" because an in-graph truncation clamps the measured count to
+        # exactly cap — indistinguishable from a lucky exact fit
+        overflow = (
+            int(ks[1].sum()) >= level_caps[0]
+            or int(ks[0].sum()) >= level_caps[1]
+            or ny >= level_caps[2]
+            or nz >= cap_z
+        )
+        if overflow:  # rare: cloud denser than the surface-ratio assumption
             out = self._stage1(
                 self.params,
                 jnp.asarray(coords),
@@ -225,7 +241,7 @@ class SerialEncoder:
                 jnp.asarray(mask),
                 qs,
                 num_frames,
-                cap,
+                (cap,) * len(level_caps),
                 cap,
             )
             ks, ny, nz, num_points = (

@@ -87,16 +87,17 @@ def frame_rd_loss(
     y_hat = y.with_feats(y_noisy / gain)
     rgb, aux = model.g_s(params, y_hat, ks, return_logits=True)
 
-    # occupancy BCE per level against the true coordinate pyramid
+    # occupancy BCE per level against the true coordinate pyramid (the g_s
+    # aux entries are the 8x candidate grids scored from parent features)
     occ_loss = jnp.float32(0.0)
-    for level, (cand, logits) in enumerate(aux):
+    for level, (cand_coords, cand_mask, logits) in enumerate(aux):
         factor = 2 ** (model.config.num_levels - 1 - level)  # 4, 2, 1
         true_c, true_m = _coord_set_at_stride(block, factor)
-        _, found = coords_lib.find_coords(true_c, cand.coords, true_m, cand.mask)
+        _, found = coords_lib.find_coords(true_c, cand_coords, true_m, cand_mask)
         target = found.astype(jnp.float32)
         bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        occ_loss = occ_loss + jnp.sum(bce * cand.mask) / jnp.maximum(
-            jnp.sum(cand.mask.astype(jnp.float32)), 1.0
+        occ_loss = occ_loss + jnp.sum(bce * cand_mask) / jnp.maximum(
+            jnp.sum(cand_mask.astype(jnp.float32)), 1.0
         )
 
     # color MSE on reconstructed voxels that exist in the input
