@@ -131,18 +131,70 @@ def sparse_conv_down(
 ) -> SparseBlock:
     """Strided downsampling conv: tensor stride ``s -> s*factor``.
 
-    Kernel size is inferred from the weight's tap count (typically
-    ``factor^3`` corner-anchored taps, matching the reference model's stride-2
-    down-convs, e.g. ``g_s.down_conv`` at reference ``codec_parallel.py:296-303``).
+    With kernel == stride (``factor^3`` corner-anchored taps, the reference
+    model's stride-2 down-convs), every input voxel contributes to exactly
+    one output cell, so no kernel-map search is needed: sort inputs by their
+    downsampled cell (one lex sort), derive segment ids from
+    first-occurrence cumsums, premultiply each row by its in-cell tap weight,
+    and segment-sum. General kernel sizes fall back to the searched path.
     """
     ksize = round(weight.shape[0] ** (1 / 3))
     assert ksize**3 == weight.shape[0]
-    offs = kernel_offsets(ksize)
-    out_coords, out_mask = downsample_coords(block, factor)
-    idx, found = build_kernel_map(block, out_coords, out_mask, offs, block.stride)
-    feats = _gather_gemm(block.feats, idx, found, weight, bias, out_mask)
+    if ksize != factor:
+        offs = kernel_offsets(ksize)
+        out_coords, out_mask = downsample_coords(block, factor)
+        idx, found = build_kernel_map(block, out_coords, out_mask, offs, block.stride)
+        feats = _gather_gemm(block.feats, idx, found, weight, bias, out_mask)
+        return SparseBlock(
+            coords=out_coords, feats=feats, mask=out_mask, stride=block.stride * factor
+        )
+
+    n = block.capacity
+    step = jnp.int32(block.stride * factor)
+    cxyz = jnp.floor_divide(block.coords[:, 1:], step) * step
+    cell_coords = jnp.concatenate([block.coords[:, :1], cxyz], axis=1)
+    cell_coords = jnp.where(
+        block.mask[:, None], cell_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
+    )
+    tap_xyz = jnp.floor_divide(block.coords[:, 1:] - cxyz, jnp.int32(block.stride))
+    tap = (tap_xyz[:, 0] * factor + tap_xyz[:, 1]) * factor + tap_xyz[:, 2]
+
+    perm = coords_lib.lex_argsort(cell_coords, block.mask)
+    sc = cell_coords[perm]
+    sm = block.mask[perm]
+    sf = block.feats[perm]
+    stap = jnp.clip(tap[perm], 0, weight.shape[0] - 1)
+
+    first = coords_lib.mark_first_occurrences(sc, sm)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # output row per input row
+    seg = jnp.where(sm, seg, n - 1)  # masked rows -> last row (masked out below)
+
+    # per-row contribution: feats row x its tap's weight — as f^3 masked
+    # matmuls (a per-row weight gather would materialize [N, Cin, Cout])
+    contrib = jnp.zeros((n, weight.shape[2]), sf.dtype)
+    for t in range(weight.shape[0]):
+        sel = (stap == t).astype(sf.dtype)[:, None]
+        contrib = contrib + jnp.dot(
+            sf * sel, weight[t], preferred_element_type=sf.dtype
+        )
+    feats_out = jax.ops.segment_sum(
+        jnp.where(sm[:, None], contrib, 0), seg, num_segments=n
+    )
+
+    out_coords = jnp.where(first[:, None], sc, jnp.array(PAD_COORD, jnp.int32)[None, :])
+    # compact: unique cells are already in sorted order; scatter them to their
+    # segment rows so row seg[i] holds cell i's coordinate
+    out_c = jnp.full((n, 4), jnp.array(PAD_COORD, jnp.int32)[None, :])
+    out_c = out_c.at[jnp.where(first, seg, n - 1)].set(
+        jnp.where(first[:, None], sc, out_c[0])
+    )
+    out_mask = jnp.zeros((n,), bool).at[jnp.where(first, seg, n - 1)].set(first)
+    if bias is not None:
+        feats_out = feats_out + bias
+    feats_out = jnp.where(out_mask[:, None], feats_out, 0)
+    out_c = jnp.where(out_mask[:, None], out_c, jnp.array(PAD_COORD, jnp.int32)[None, :])
     return SparseBlock(
-        coords=out_coords, feats=feats, mask=out_mask, stride=block.stride * factor
+        coords=out_c, feats=feats_out, mask=out_mask, stride=block.stride * factor
     )
 
 

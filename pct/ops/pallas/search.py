@@ -2,13 +2,14 @@
 
 The sorted-search join (kernel maps, ``features_at_coordinates``) is the main
 non-GEMM op of the sparse engine. The XLA formulation in
-:mod:`pct.sparse.coords` performs ~log2(N) dependent gather rounds, each a
-full HBM round-trip over all queries. This kernel keeps the *entire sorted
-key table resident in VMEM* (2 x uint32 x N — up to ~1M rows) and streams
-query tiles through it, so the whole search runs on-chip.
+:mod:`pct.sparse.coords` runs ~log2(N) *separate* dependent gather kernels —
+each with fixed launch/latency overhead, which dominates at ~10 ms x 18 steps
+per kernel map. This kernel keeps the sorted ``[N, 2]`` key table resident in
+VMEM (up to ~1M rows) and runs the whole search loop on-chip while query
+tiles stream through.
 
 Falls back transparently to the XLA path when the table exceeds the VMEM
-budget or Pallas is unavailable (CPU tests run in interpret mode).
+budget; CPU tests run in interpret mode.
 """
 
 from __future__ import annotations
@@ -19,15 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE = 2048  # queries per grid step (pads to this)
-VMEM_TABLE_LIMIT = 1 << 20  # max table rows kept in VMEM (8 MB as 2x uint32)
+TILE = 2048  # queries per grid step
+VMEM_TABLE_ROWS = 1 << 19  # keep tables up to 512k rows (4 MB) in VMEM
 
 
-def _search_kernel(hi_s_ref, lo_s_ref, hi_q_ref, lo_q_ref, out_ref):
-    n = hi_s_ref.shape[0]
+def _search_kernel(keys_ref, q_ref, out_ref):
+    n = keys_ref.shape[0]
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    hi_q = hi_q_ref[:]
-    lo_q = lo_q_ref[:]
+    hi_q = q_ref[:, 0]
+    lo_q = q_ref[:, 1]
     shape = hi_q.shape
     lo_b = jnp.zeros(shape, jnp.int32)
     hi_b = jnp.full(shape, n, jnp.int32)
@@ -37,9 +38,8 @@ def _search_kernel(hi_s_ref, lo_s_ref, hi_q_ref, lo_q_ref, out_ref):
         active = lo_b < hi_b
         mid = (lo_b + hi_b) >> 1
         mid_c = jnp.clip(mid, 0, n - 1)
-        k_hi = jnp.take(hi_s_ref[:], mid_c.reshape(-1), axis=0).reshape(shape)
-        k_lo = jnp.take(lo_s_ref[:], mid_c.reshape(-1), axis=0).reshape(shape)
-        less = (k_hi < hi_q) | ((k_hi == hi_q) & (k_lo < lo_q))
+        k = jnp.take(keys_ref[:], mid_c, axis=0)  # [T, 2] row gather from VMEM
+        less = (k[:, 0] < hi_q) | ((k[:, 0] == hi_q) & (k[:, 1] < lo_q))
         lo_b = jnp.where(active & less, mid + 1, lo_b)
         hi_b = jnp.where(active & ~less, mid, hi_b)
         return lo_b, hi_b
@@ -61,24 +61,22 @@ def pallas_searchsorted_keys(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    keys = jnp.stack([hi_sorted, lo_sorted], axis=1)  # [N, 2]
     m = hi_q.shape[0]
     m_pad = max(TILE, ((m + TILE - 1) // TILE) * TILE)
-    hi_qp = jnp.pad(hi_q, (0, m_pad - m))
-    lo_qp = jnp.pad(lo_q, (0, m_pad - m))
+    q = jnp.stack([hi_q, lo_q], axis=1)
+    q = jnp.pad(q, ((0, m_pad - m), (0, 0)))
     rows = m_pad // TILE
 
-    grid = (rows,)
     out = pl.pallas_call(
         _search_kernel,
         out_shape=jax.ShapeDtypeStruct((m_pad,), jnp.int32),
-        grid=grid,
+        grid=(rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full table resident
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(hi_sorted, lo_sorted, hi_qp, lo_qp)
+    )(keys, q)
     return out[:m]

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -104,22 +106,37 @@ def searchsorted_keys(
     n = hi_sorted.shape[0]
     nq = hi_q.shape[0]
     keys = jnp.stack([hi_sorted, lo_sorted], axis=1)  # [N, 2]
-    lo_bound = jnp.zeros((nq,), dtype=jnp.int32)
-    hi_bound = jnp.full((nq,), n, dtype=jnp.int32)
-    steps = max(1, n.bit_length())
 
-    def body(_, carry):
-        lo_b, hi_b = carry
-        active = lo_b < hi_b
-        mid = (lo_b + hi_b) >> 1
+    # Stage 1 (gather-free): locate a 128-way fence bucket with one
+    # broadcasted compare — replaces the first ~7 dependent gather rounds.
+    fences = 128
+    if n > fences:
+        stride = -(-n // fences)  # ceil
+        f_hi = hi_sorted[:: stride]
+        f_lo = lo_sorted[:: stride]
+        less = (f_hi[None, :] < hi_q[:, None]) | (
+            (f_hi[None, :] == hi_q[:, None]) & (f_lo[None, :] < lo_q[:, None])
+        )
+        bucket = jnp.sum(less.astype(jnp.int32), axis=1)  # first fence >= q
+        lo_bound = jnp.maximum(bucket - 1, 0) * stride
+        hi_bound = jnp.minimum(bucket * stride, n)
+        span = stride
+    else:
+        lo_bound = jnp.zeros((nq,), dtype=jnp.int32)
+        hi_bound = jnp.full((nq,), n, dtype=jnp.int32)
+        span = n
+
+    # Stage 2: unrolled binary search within the bucket (dependent row
+    # gathers; unrolled rather than fori_loop to avoid per-iteration loop
+    # overhead on TPU).
+    for _ in range(max(1, int(np.ceil(np.log2(max(span, 2)))) + 1)):
+        active = lo_bound < hi_bound
+        mid = (lo_bound + hi_bound) >> 1
         mid_c = jnp.clip(mid, 0, n - 1)
         k = keys[mid_c]  # [nq, 2] single row gather
         less = _keys_less(k[:, 0], k[:, 1], hi_q, lo_q)
-        lo_b = jnp.where(active & less, mid + 1, lo_b)
-        hi_b = jnp.where(active & ~less, mid, hi_b)
-        return lo_b, hi_b
-
-    lo_bound, _ = jax.lax.fori_loop(0, steps + 1, body, (lo_bound, hi_bound))
+        lo_bound = jnp.where(active & less, mid + 1, lo_bound)
+        hi_bound = jnp.where(active & ~less, mid, hi_bound)
     return lo_bound
 
 
