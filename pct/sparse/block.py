@@ -37,9 +37,14 @@ PAD_COORD = (0xFFFF, coords_lib.COORD_BIAS - 1, coords_lib.COORD_BIAS - 1, coord
 
 
 def bucket_size(n: int, minimum: int = 256) -> int:
-    """Smallest power-of-two >= n (>= minimum) — stable jit shapes across frames."""
+    """Smallest half-octave bucket >= n (>= minimum): powers of two plus their
+    1.5x midpoints — stable jit shapes across frames with <=33% padding waste
+    (full octaves waste up to 2x, which is real money on search/gather-bound
+    sparse kernels)."""
     m = minimum
     while m < n:
+        if (m + (m >> 1)) >= n and m >= 2 * minimum:
+            return m + (m >> 1)
         m <<= 1
     return m
 

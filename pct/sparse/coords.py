@@ -107,29 +107,14 @@ def searchsorted_keys(
     nq = hi_q.shape[0]
     keys = jnp.stack([hi_sorted, lo_sorted], axis=1)  # [N, 2]
 
-    # Stage 1 (gather-free): locate a 128-way fence bucket with one
-    # broadcasted compare — replaces the first ~7 dependent gather rounds.
-    fences = 128
-    if n > fences:
-        stride = -(-n // fences)  # ceil
-        f_hi = hi_sorted[:: stride]
-        f_lo = lo_sorted[:: stride]
-        less = (f_hi[None, :] < hi_q[:, None]) | (
-            (f_hi[None, :] == hi_q[:, None]) & (f_lo[None, :] < lo_q[:, None])
-        )
-        bucket = jnp.sum(less.astype(jnp.int32), axis=1)  # first fence >= q
-        lo_bound = jnp.maximum(bucket - 1, 0) * stride
-        hi_bound = jnp.minimum(bucket * stride, n)
-        span = stride
-    else:
-        lo_bound = jnp.zeros((nq,), dtype=jnp.int32)
-        hi_bound = jnp.full((nq,), n, dtype=jnp.int32)
-        span = n
-
-    # Stage 2: unrolled binary search within the bucket (dependent row
-    # gathers; unrolled rather than fori_loop to avoid per-iteration loop
-    # overhead on TPU).
-    for _ in range(max(1, int(np.ceil(np.log2(max(span, 2)))) + 1)):
+    # Unrolled binary search (dependent row gathers). Unrolled rather than a
+    # fori_loop: TPU pays ~10 ms per loop iteration regardless of size. A
+    # broadcast-compare fence prefilter was tried and reverted — the
+    # [nq, 128] compare materializes hundreds of MB at multi-million query
+    # counts and costs more than the ~7 gather rounds it saves.
+    lo_bound = jnp.zeros((nq,), dtype=jnp.int32)
+    hi_bound = jnp.full((nq,), n, dtype=jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
         active = lo_bound < hi_bound
         mid = (lo_bound + hi_bound) >> 1
         mid_c = jnp.clip(mid, 0, n - 1)
