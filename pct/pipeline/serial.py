@@ -180,11 +180,12 @@ class SerialEncoder:
             idx = m.gaussian_conditional.build_indexes(scales * gain[None, :])
             syms.append(sym.astype(jnp.int16))
             idxs.append(idx.astype(jnp.uint8))
+        # single int32 metadata vector: one host pull instead of four
+        meta = jnp.concatenate(
+            [ks.reshape(-1), jnp.stack([ny, nz, num_points])]
+        ).astype(jnp.int32)
         return (
-            ks,
-            ny,
-            nz,
-            num_points,
+            meta,
             y.coords,
             jnp.stack(syms),
             jnp.stack(idxs),
@@ -193,12 +194,22 @@ class SerialEncoder:
 
     @functools.partial(jax.jit, static_argnames=("self", "ny_cap", "nz_cap"))
     def _pack(self, y_coords, y_syms, y_idxs, z_syms, ny_cap, nz_cap):
-        return (
-            y_coords[:ny_cap].astype(jnp.int32),
-            y_syms[:, :ny_cap],
-            y_idxs[:, :ny_cap],
-            z_syms[:nz_cap],
+        """Slice to tight buckets and fuse everything into ONE uint8 buffer —
+        each pulled array is a separate device->host round trip on
+        relay-attached chips."""
+
+        def as_bytes(x):
+            return jax.lax.bitcast_convert_type(
+                x.reshape(-1), jnp.uint8
+            ).reshape(-1)
+
+        parts = (
+            as_bytes(y_coords[:ny_cap].astype(jnp.int16)),
+            as_bytes(y_syms[:, :ny_cap]),
+            as_bytes(y_idxs[:, :ny_cap]),
+            as_bytes(z_syms[:nz_cap]),
         )
+        return jnp.concatenate(parts)
 
     def device_encode(self, frames: Sequence[dict], settings) -> dict:
         """Fused device pass -> compact host-side symbol planes (E1)."""
@@ -217,12 +228,12 @@ class SerialEncoder:
             level_caps,
             cap_z,
         )
-        ks, ny, nz, num_points = (
-            np.asarray(out[0]),
-            int(out[1]),
-            int(out[2]),
-            int(out[3]),
-        )
+        def unpack_meta(meta):
+            meta = np.asarray(meta)
+            ks = meta[: -3].reshape(self.model.config.num_levels, num_frames)
+            return ks, int(meta[-3]), int(meta[-2]), int(meta[-1])
+
+        ks, ny, nz, num_points = unpack_meta(out[0])
         # overflow check: ks rows are occupancies at strides (4, 2, 1); the
         # capped levels hold strides (2, 4, 8=y)
         # ">= cap" because an in-graph truncation clamps the measured count to
@@ -244,18 +255,19 @@ class SerialEncoder:
                 (cap,) * len(level_caps),
                 cap,
             )
-            ks, ny, nz, num_points = (
-                np.asarray(out[0]),
-                int(out[1]),
-                int(out[2]),
-                int(out[3]),
-            )
-        ny_cap, nz_cap = min(bucket_size(ny), out[4].shape[0]), min(
-            bucket_size(nz), out[7].shape[0]
-        )
-        y_coords, y_syms, y_idxs, z_syms = jax.device_get(
-            self._pack(out[4], out[5], out[6], out[7], ny_cap, nz_cap)
-        )
+            ks, ny, nz, num_points = unpack_meta(out[0])
+        ny_cap = min(bucket_size(ny), out[1].shape[0])
+        nz_cap = min(bucket_size(nz), out[4].shape[0])
+        nq = len(settings)
+        c_lat = self.model.config.latent_channels
+        c_hyp = self.model.config.hyper_channels
+        buf = np.asarray(jax.device_get(self._pack(out[1], out[2], out[3], out[4], ny_cap, nz_cap)))
+        sizes = [ny_cap * 4 * 2, nq * ny_cap * c_lat * 2, nq * ny_cap * c_lat, nz_cap * c_hyp * 2]
+        offs = np.cumsum([0] + sizes)
+        y_coords = buf[offs[0] : offs[1]].view(np.int16).reshape(ny_cap, 4).astype(np.int32)
+        y_syms = buf[offs[1] : offs[2]].view(np.int16).reshape(nq, ny_cap, c_lat)
+        y_idxs = buf[offs[2] : offs[3]].reshape(nq, ny_cap, c_lat)
+        z_syms = buf[offs[3] : offs[4]].view(np.int16).reshape(nz_cap, c_hyp)
         return {
             "num_frames": num_frames,
             "num_points": num_points,
@@ -398,7 +410,14 @@ class SerialDecoder:
         rgb = m.g_s(params, y_block.with_feats(y_hat), ks, level_capacities)
         coords16 = rgb.coords.astype(jnp.int16)
         colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
-        return coords16, colors8, rgb.mask
+        # one uint8 buffer -> one device->host round trip
+        return jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
+                colors8.reshape(-1),
+                rgb.mask.astype(jnp.uint8),
+            ]
+        )
 
     def decompress(self, level: SegmentBitstream | bytes):
         t_codec_start = time.time()
@@ -461,18 +480,24 @@ class SerialDecoder:
         t0 = time.time()
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
         caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
-        coords16, colors8, out_mask = jax.device_get(
-            self._phase2(
-                self.params,
-                y_block,
-                scales,
-                means,
-                jnp.asarray(y_syms),
-                q,
-                jnp.asarray(ks),
-                caps,
+        buf = np.asarray(
+            jax.device_get(
+                self._phase2(
+                    self.params,
+                    y_block,
+                    scales,
+                    means,
+                    jnp.asarray(y_syms),
+                    q,
+                    jnp.asarray(ks),
+                    caps,
+                )
             )
         )
+        cap_out = caps[-1]
+        coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
+        colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
+        out_mask = buf[cap_out * 11 :].astype(bool)
         frames = _split_frames(
             coords16.astype(np.int32), colors8.astype(np.float32) / 255.0, out_mask, num_frames
         )
