@@ -107,6 +107,11 @@ def searchsorted_keys(
     nq = hi_q.shape[0]
     keys = jnp.stack([hi_sorted, lo_sorted], axis=1)  # [N, 2]
 
+    # Materialize the inputs once: without the barrier XLA fuses the query
+    # key construction INTO every search step and recomputes it ~18x
+    # (measured 2x total kernel-map cost).
+    keys, hi_q, lo_q = jax.lax.optimization_barrier((keys, hi_q, lo_q))
+
     # Unrolled binary search (dependent row gathers). Unrolled rather than a
     # fori_loop: TPU pays ~10 ms per loop iteration regardless of size. A
     # broadcast-compare fence prefilter was tried and reverted — the
@@ -153,7 +158,9 @@ def find_coords(
     hi_q, lo_q = _masked_keys(query_coords, query_mask)
     pos = searchsorted_keys(hi_s, lo_s, hi_q, lo_q)
     idx = jnp.clip(pos, 0, n - 1)
-    found = (hi_s[idx] == hi_q) & (lo_s[idx] == lo_q) & (hi_q != SENTINEL_HI)
+    # row gather for the equality check (two scalar gathers are ~30x slower)
+    k = jnp.stack([hi_s, lo_s], axis=1)[idx]
+    found = (k[:, 0] == hi_q) & (k[:, 1] == lo_q) & (hi_q != SENTINEL_HI)
     return idx, found
 
 
