@@ -64,11 +64,21 @@ def main():
     num_points = sum(f["points"].shape[0] for f in frames)
     log(f"segment: {num_frames} frames, {num_points} points")
 
-    cfg = UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32)
-    model = ColorModel(cfg)
-    params = model.init_params(jax.random.key(0))
-    enc = SerialEncoder(model, params)
-    dec = SerialDecoder(model, params)
+    import os
+
+    tables = None
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints", "demo.msgpack")
+    if os.path.exists(ckpt):
+        from pct.models import checkpoint as ckpt_mod
+
+        model, params, tables = ckpt_mod.load_with_tables(ckpt)
+        log(f"loaded trained checkpoint {ckpt}")
+    else:
+        cfg = UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32)
+        model = ColorModel(cfg)
+        params = model.init_params(jax.random.key(0))
+    enc = SerialEncoder(model, params, tables)
+    dec = SerialDecoder(model, params, tables)
     settings = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]  # reference config.yaml:12-15
 
     # warm-up (compile)

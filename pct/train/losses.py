@@ -83,9 +83,13 @@ def frame_rd_loss(
         jnp.log2(jnp.maximum(y_lik, 1e-9)) * y.mask[:, None], dtype=jnp.float32
     )
 
-    # synthesis from the (de-gained) noisy latents with ground-truth k pruning
+    # synthesis from the (de-gained) noisy latents with ground-truth k pruning;
+    # every pruned level holds <= the input count, so cap capacities at the
+    # block capacity (otherwise candidate grids grow 8x per level in the
+    # backward and blow HBM)
     y_hat = y.with_feats(y_noisy / gain)
-    rgb, aux = model.g_s(params, y_hat, ks, return_logits=True)
+    caps = (block.capacity,) * model.config.num_levels
+    rgb, aux = model.g_s(params, y_hat, ks, level_capacities=caps, return_logits=True)
 
     # occupancy BCE per level against the true coordinate pyramid (the g_s
     # aux entries are the 8x candidate grids scored from parent features)
