@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ast
 import os
-from typing import Optional
+
 
 import numpy as np
 import pandas as pd

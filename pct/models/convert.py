@@ -18,7 +18,7 @@ Unmapped reference tensors are reported, never silently dropped.
 
 from __future__ import annotations
 
-from typing import Callable, Mapping
+from typing import Mapping
 
 import numpy as np
 

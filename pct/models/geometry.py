@@ -19,7 +19,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import struct
-import time
 from typing import Sequence
 
 import jax

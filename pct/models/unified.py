@@ -46,7 +46,6 @@ from pct.ops import (
     downsample_coords,
     generative_conv_up,
     kernel_offsets,
-    prune_block,
     sparse_conv,
     sparse_conv_down,
     topk_per_batch_mask,

@@ -15,7 +15,6 @@ The reference scales by processes + threads on single-GPU hosts (SURVEY.md
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

@@ -20,7 +20,6 @@ from __future__ import annotations
 import time
 from typing import Sequence
 
-import numpy as np
 
 from pct.entropy.bitstream import pack_segment
 from pct.models.unified import ColorModel, Params

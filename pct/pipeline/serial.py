@@ -38,17 +38,17 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pct.entropy.bitstream import SegmentBitstream, pack_segment, unpack_segment
+from pct.entropy.bitstream import SegmentBitstream, pack_segment
 from pct.gpcc import decode_points, encode_points
 from pct.models.unified import ColorModel, Params
 from pct.sparse.block import SparseBlock, bucket_size, canonicalize
-from pct.sparse import coords as coords_lib
+
 
 PARAM_GRID = 256.0  # (scale, mean) quantization grid, see module docstring
 

@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from pct.sparse import coords as coords_lib
+
 from pct.sparse.block import SparseBlock, canonicalize
 
 

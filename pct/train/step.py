@@ -8,7 +8,7 @@ inserts the gradient ``psum`` over ICI.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
