@@ -119,10 +119,20 @@ class VisualizerBackend:
         finally:
             self._clients.discard(websocket)
 
+    def _recv_bounded(self):
+        # bounded recv: run_in_executor threads are non-daemon, so an
+        # unbounded blocking recv would hang interpreter shutdown
+        try:
+            return self.pull.recv(timeout=1.0)
+        except TimeoutError:
+            return None
+
     async def _pump(self):
         loop = asyncio.get_running_loop()
         while True:
-            msg = await loop.run_in_executor(None, self.pull.recv)
+            msg = await loop.run_in_executor(None, self._recv_bounded)
+            if msg is None:
+                continue
             buf = bytes(msg["frame"])
             dead = []
             for ws in self._clients:
