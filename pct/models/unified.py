@@ -377,7 +377,8 @@ class ColorModel:
             kmap = build_kmap(x, 3)
             x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
             x = x.with_feats(jax.nn.relu(x.feats))
-        rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"])
+        # rgb head shares the last level's coordinates -> reuse its kernel map
+        rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
         if return_logits:
             return rgb, aux
         return rgb
