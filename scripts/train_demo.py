@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--hyper", type=int, default=32)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--resume", default="", help="checkpoint to continue from")
+    ap.add_argument("--lambda-a", type=float, default=6.5)
+    ap.add_argument("--lambda-g", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -64,14 +67,18 @@ def main():
     print(f"{len(frames)} frames, mean points "
           f"{np.mean([len(f['points']) for f in frames]):.0f}", flush=True)
 
-    cfg = UnifiedConfig(
-        channels=tuple(int(c) for c in args.channels.split(",")),
-        latent_channels=args.latent,
-        hyper_channels=args.hyper,
-    )
-    model = ColorModel(cfg)
-    params = model.init_params(jax.random.key(0))
-    tcfg = TrainConfig(learning_rate=args.lr)
+    if args.resume:
+        model, params = checkpoint.load(args.resume)
+        print(f"resumed from {args.resume}", flush=True)
+    else:
+        cfg = UnifiedConfig(
+            channels=tuple(int(c) for c in args.channels.split(",")),
+            latent_channels=args.latent,
+            hyper_channels=args.hyper,
+        )
+        model = ColorModel(cfg)
+        params = model.init_params(jax.random.key(0))
+    tcfg = TrainConfig(learning_rate=args.lr, lambda_a=args.lambda_a, lambda_g=args.lambda_g)
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
     step = jax.jit(make_train_step(model, tcfg, opt))
