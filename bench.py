@@ -105,6 +105,31 @@ def main():
     log("enc steps:", {k: round(v, 4) for k, v in einfo["time_measurements"].items()})
     log("dec steps:", {k: round(v, 4) for k, v in dinfo["time_measurements"].items()})
 
+    # secondary: pipelined throughput over 3 concurrent segments (the
+    # system's real operating mode — both the reference and pct run 3-worker
+    # segment pools); logged to stderr, not the headline metric
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pct.pipeline import CompressionPipeline, DecompressionPipeline
+
+        enc_p = CompressionPipeline(model, params)
+        dec_p = DecompressionPipeline(model, params)
+        enc_p.compress(frames, settings)  # warm the pipeline objects
+
+        def one(_):
+            lv, _i = enc_p.compress(frames, settings)
+            return dec_p.decompress(lv[-1].pack())
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            list(ex.map(one, range(3)))
+        thr = 3 * num_frames / (time.time() - t0)
+        log(f"pipelined throughput (3 segments in flight): {thr:.2f} frames/sec "
+            f"({thr / BASELINE_FPS:.2f}x baseline)")
+    except Exception as e:  # noqa: BLE001 - secondary metric must not break bench
+        log("pipelined throughput measurement failed:", repr(e))
+
     fps = num_frames / (t_enc + t_dec)
     print(
         json.dumps(

@@ -124,13 +124,16 @@ class VisualizerBackend:
         # unbounded blocking recv would hang interpreter shutdown
         try:
             return self.pull.recv(timeout=1.0)
-        except TimeoutError:
+        except (TimeoutError, RuntimeError):  # RuntimeError: interpreter exit
             return None
 
     async def _pump(self):
         loop = asyncio.get_running_loop()
         while True:
-            msg = await loop.run_in_executor(None, self._recv_bounded)
+            try:
+                msg = await loop.run_in_executor(None, self._recv_bounded)
+            except RuntimeError:  # executor torn down at interpreter exit
+                return
             if msg is None:
                 continue
             buf = bytes(msg["frame"])
