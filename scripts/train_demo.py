@@ -81,7 +81,8 @@ def main():
     tcfg = TrainConfig(learning_rate=args.lr, lambda_a=args.lambda_a, lambda_g=args.lambda_g)
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
-    step = jax.jit(make_train_step(model, tcfg, opt))
+    # donate params/opt_state buffers: halves peak optimizer-state HBM
+    step = jax.jit(make_train_step(model, tcfg, opt), donate_argnums=(0, 1))
 
     rng = np.random.default_rng(0)
     key = jax.random.key(1)
