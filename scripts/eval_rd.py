@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--out", default="")
+    ap.add_argument("--dump-ply", default="", help="write decoded PLYs here (reference tests/test_pipeline.py behavior)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--settings",
@@ -97,6 +98,16 @@ def main():
         }
         rows.append(row)
         print(row, flush=True)
+        if args.dump_ply:
+            from pct.utils.ply import write_ply
+
+            os.makedirs(args.dump_ply, exist_ok=True)
+            for i, fr in enumerate(out):
+                write_ply(
+                    os.path.join(args.dump_ply, f"decoded_q{lv.q_g}_{lv.q_a}_f{i}.ply"),
+                    fr["points"].astype(np.float32),
+                    fr["colors"],
+                )
 
     if args.out:
         import csv
