@@ -86,8 +86,24 @@ def _keys_less(hi_a, lo_a, hi_b, lo_b):
     return (hi_a < hi_b) | ((hi_a == hi_b) & (lo_a < lo_b))
 
 
+def searchsorted_keys(hi_sorted, lo_sorted, hi_q, lo_q):
+    """Dispatches to the Pallas VMEM-resident kernel when
+    ``PCT_USE_PALLAS_SEARCH=1`` (pending Mosaic support for arbitrary-index
+    VMEM gathers — see pct/ops/pallas/search.py), else the XLA path."""
+    import os
+
+    if os.environ.get("PCT_USE_PALLAS_SEARCH") == "1":
+        try:
+            from pct.ops.pallas.search import pallas_searchsorted_keys
+
+            return pallas_searchsorted_keys(hi_sorted, lo_sorted, hi_q, lo_q)
+        except Exception:
+            pass
+    return _searchsorted_keys_xla(hi_sorted, lo_sorted, hi_q, lo_q)
+
+
 @functools.partial(jax.jit, static_argnames=())
-def searchsorted_keys(
+def _searchsorted_keys_xla(
     hi_sorted: jax.Array,
     lo_sorted: jax.Array,
     hi_q: jax.Array,
