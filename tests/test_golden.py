@@ -41,3 +41,16 @@ def test_decoder_reads_golden(golden):
     dec = SerialDecoder(model, params)
     out, _ = dec.decompress(data)
     assert out[0]["points"].shape[0] == inp["points"].shape[0]
+
+
+def test_geometry_codec_golden():
+    from pct.models.geometry import GeometryCodec, GeometryConfig, GeometryModel
+
+    pts = np.load(os.path.join(GOLDEN_DIR, "geometry_tiny_points.npy"))
+    data = open(os.path.join(GOLDEN_DIR, "geometry_tiny.bin"), "rb").read()
+    model = GeometryModel(GeometryConfig(channels=(4, 4, 8), latent_channels=8))
+    codec = GeometryCodec(model, model.init_params(jax.random.key(0)))
+    streams = codec.encode([{"points": pts}])
+    assert streams[2] == data  # encoder byte stability
+    out = codec.decode(data)  # decoder compatibility
+    assert out[0].shape == pts.shape
