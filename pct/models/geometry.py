@@ -59,6 +59,12 @@ class GeometryModel:
         self.config = config or GeometryConfig()
         self.entropy_bottleneck = EntropyBottleneck(self.config.latent_channels)
 
+    def __hash__(self):
+        return hash((type(self).__name__, self.config))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.config == self.config
+
     def init_params(self, key: jax.Array):
         from pct.models.unified import _conv_init, _dense_init
 
@@ -142,6 +148,12 @@ class GeometryCodec:
         self.model = model
         self.params = params
         self.eb_tables = model.entropy_bottleneck.update(params["entropy_bottleneck"])
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.model.config))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.model.config == self.model.config
 
     @functools.partial(jax.jit, static_argnames=("self", "num_frames", "level_caps"))
     def _encode(self, params, coords, mask, num_frames, level_caps):

@@ -112,6 +112,15 @@ class ColorModel:
         self.gaussian_conditional = GaussianConditional()
         self.eps = self.config.eps
 
+    # Hash/eq by static config: model objects ride through jit as static
+    # arguments, and id-based hashing would retrace per instance (every
+    # pipeline object would recompile the whole codec).
+    def __hash__(self):
+        return hash((type(self).__name__, self.config))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.config == self.config
+
     # ------------------------------------------------------------------
     # Parameters
     # ------------------------------------------------------------------

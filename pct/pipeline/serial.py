@@ -143,6 +143,14 @@ class SerialEncoder:
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
 
+    # share jit traces across instances with the same model config (self is a
+    # static jit argument; id-hashing would recompile per pipeline object)
+    def __hash__(self):
+        return hash((type(self).__name__, self.model.config))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.model.config == self.model.config
+
     # ------------------------------------------------------------------
     # device stage: everything up to symbol planes, one dispatch
     # ------------------------------------------------------------------
@@ -372,6 +380,12 @@ class SerialDecoder:
             params["entropy_bottleneck"]
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.model.config))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other.model.config == self.model.config
 
     # ------------------------------------------------------------------
     # device phase 1: coords -> hyper params -> coding indexes
