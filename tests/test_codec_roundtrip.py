@@ -123,3 +123,15 @@ def test_checkpoint_roundtrip(tmp_path, codec, rng):
     dec2 = SerialDecoder(model2, params2)
     out, _ = dec2.decompress(levels[0])
     assert out[0]["points"].shape[0] == frames[0]["points"].shape[0]
+
+
+def test_instances_share_jit_traces(codec, rng):
+    """Codec objects hash by model config, so a second instance must not
+    retrace (regression: pipelined wrappers recompiled the whole codec)."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=1, n=300)
+    enc.compress(frames, [[1.0, 1.0]])
+    before = SerialEncoder._stage1._cache_size()
+    enc2 = SerialEncoder(enc.model, enc.params)
+    enc2.compress(frames, [[1.0, 1.0]])
+    assert SerialEncoder._stage1._cache_size() == before
