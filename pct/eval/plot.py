@@ -140,6 +140,26 @@ def plot(
         fig.tight_layout(); fig.savefig(p); plt.close(fig)
         written.append(p)
 
+    # (d) measured wall time vs sum of instrumented steps (overhead check,
+    # reference plot.py:335-398)
+    enc_sum = sum(
+        (_numeric(df[f"time_measurements_{s}"]).fillna(0) for s in ENC_STEPS if f"time_measurements_{s}" in df),
+        start=pd.Series(np.zeros(len(df))),
+    )
+    t_start = [c for c in df.columns if c.endswith("timestamps_codec_start")]
+    t_end = [c for c in df.columns if c.endswith("timestamps_codec_end")]
+    if t_start and t_end:
+        measured = _numeric(df[t_end[0]]) - _numeric(df[t_start[0]])
+        fig, ax = plt.subplots(figsize=(8, 4))
+        xs = np.arange(len(df))
+        ax.plot(xs, measured, label="measured wall", lw=1)
+        ax.plot(xs, enc_sum, label="sum of steps", lw=1)
+        ax.fill_between(xs, enc_sum, measured, alpha=0.3, label="overhead")
+        ax.legend(fontsize=7); ax.set_xlabel("segment"); ax.set_ylabel("seconds")
+        p = os.path.join(out_dir, f"time-comp-vs-actual_{name}.pdf")
+        fig.tight_layout(); fig.savefig(p); plt.close(fig)
+        written.append(p)
+
     return written
 
 
