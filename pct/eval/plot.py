@@ -146,8 +146,8 @@ def plot(
         (_numeric(df[f"time_measurements_{s}"]).fillna(0) for s in ENC_STEPS if f"time_measurements_{s}" in df),
         start=pd.Series(np.zeros(len(df))),
     )
-    t_start = [c for c in df.columns if c.endswith("timestamps_codec_start")]
-    t_end = [c for c in df.columns if c.endswith("timestamps_codec_end")]
+    t_start = [c for c in df.columns if "timestamps_codec_start" in c]
+    t_end = [c for c in df.columns if "timestamps_codec_end" in c]
     if t_start and t_end:
         measured = _numeric(df[t_end[0]]) - _numeric(df[t_start[0]])
         fig, ax = plt.subplots(figsize=(8, 4))
