@@ -75,7 +75,8 @@ class StreamingClient:
                 continue
             number = int(latest)
             if number <= last:
-                time.sleep(max(self.segment_duration / 4 - self.request_offset, 0.02))
+                # nothing new yet: poll at ~4 Hz relative to segment cadence
+                time.sleep(max(self.segment_duration / 4, 0.05))
                 continue
             last = number
             if self.download_segment(number):
