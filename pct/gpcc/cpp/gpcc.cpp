@@ -152,7 +152,8 @@ int pct_gpcc_encode(const int32_t* xyz, int n, uint8_t* out, int capacity) {
   for (int i = 0; i < n; ++i)
     for (int d = 0; d < 3; ++d) maxv = std::max(maxv, (uint32_t)(xyz[3 * i + d] - mn[d]));
   int depth = 0;
-  while ((1u << depth) <= maxv) ++depth;
+  while (depth < 32 && (1u << depth) <= maxv) ++depth;
+  if (depth > 21) return -4;  // 3*depth Morton bits must fit in uint64
 
   std::memcpy(out, &n, 4);
   std::memcpy(out + 4, mn, 12);
