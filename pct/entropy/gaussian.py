@@ -63,20 +63,10 @@ class GaussianConditional:
         table = jnp.asarray(self.scale_table[:-1], s.dtype)
         return jnp.sum(s[..., None] > table, axis=-1).astype(jnp.int32)
 
-    def dequant_offset(self, q_abs_stdev: jax.Array) -> jax.Array:
-        """E[|v| - |q|]-style reconstruction offset for dead-zone dequantization.
-
-        For a centered Gaussian with stdev s quantized to integer q, the MMSE
-        reconstruction of |v| given |q|=a is shifted from a by
-        ``offset(a, s)``; the reference's variable-rate model applies this on
-        decode (``codec_parallel.py:405-409``) with the offset zeroed at a=0.
-        Closed-form conditional-mean under a Laplacian-free Gaussian tail
-        approximation: offset = s * φ(a/s)·Δ ≈ derived via the score; we use
-        the standard approximation offset = -s² · d/da log P(a) evaluated per
-        bin via finite differences of the Gaussian pmf.
-        """
-        s = self.lower_bound_scale(q_abs_stdev)
-        return jnp.zeros_like(s)  # refined by the model's learned offset net
+    # The dequantization offset (reference ``entropy_model.get_offsets``)
+    # lives on the model: ``ColorModel.get_offsets`` (pct/models/unified.py)
+    # — the closed-form conditional-mean correction needs only the effective
+    # stdev, which the model computes in gain units.
 
     # ------------------------------------------------------------------
     # Coding path (host)

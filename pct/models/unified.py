@@ -33,6 +33,7 @@ objects hold only static configuration.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Sequence
 
 import jax
@@ -50,17 +51,11 @@ from pct.ops import (
     sparse_conv_down,
     topk_per_batch_mask,
 )
-from pct.ops.conv import up_features_at as _up_features_at
 from pct.sparse.block import SparseBlock, truncate_capacity
 
-_KOFFS8 = None
-
-
+@functools.lru_cache(maxsize=None)
 def kernel_offsets_cached(k: int):
-    global _KOFFS8
-    if _KOFFS8 is None:
-        _KOFFS8 = kernel_offsets(2)
-    return _KOFFS8
+    return kernel_offsets(k)
 
 Params = Dict[str, Any]
 
@@ -378,10 +373,17 @@ class ColorModel:
             kc, km = kc[perm], kept_mask[perm]
             if level_capacities is not None:
                 cap = level_capacities[i]
-                kc, km = kc[:cap], km[:cap]
+                kc, km, perm = kc[:cap], km[:cap], perm[:cap]
 
-            # features for survivors only: fused parent gather + tap weight
-            feats = _up_features_at(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], kc, km)
+            # features for survivors: the candidates were expanded from x's own
+            # rows, so each survivor's (parent, tap) is its pre-sort flat index
+            # — carry it through the sort instead of re-searching coordinates
+            # (a unique-index gather; TPU serializes on duplicate addresses)
+            premul = jnp.einsum(
+                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"], preferred_element_type=x.feats.dtype
+            ) + p[f"up{i}"]["b"]
+            feats = premul.reshape(n * 8, -1)[perm]
+            feats = jnp.where(km[:, None], feats, 0)
             x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
             kmap = build_kmap(x, 3)
             x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)

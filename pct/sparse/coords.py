@@ -87,19 +87,91 @@ def _keys_less(hi_a, lo_a, hi_b, lo_b):
 
 
 def searchsorted_keys(hi_sorted, lo_sorted, hi_q, lo_q):
-    """Dispatches to the Pallas VMEM-resident kernel when
-    ``PCT_USE_PALLAS_SEARCH=1`` (pending Mosaic support for arbitrary-index
-    VMEM gathers — see pct/ops/pallas/search.py), else the XLA path."""
-    import os
+    """Lower-bound search of query keys in sorted table keys.
 
-    if os.environ.get("PCT_USE_PALLAS_SEARCH") == "1":
-        try:
-            from pct.ops.pallas.search import pallas_searchsorted_keys
-
-            return pallas_searchsorted_keys(hi_sorted, lo_sorted, hi_q, lo_q)
-        except Exception:
-            pass
+    Dispatches to the merge-rank join (:func:`merge_join_keys`) for large
+    query sets — TPU random row gathers serialize badly on the
+    duplicate/clustered addresses that kernel-map queries produce (measured
+    157 ms vs 25 ms for a 98k-table / 2.65M-query conv kernel map on v5e) —
+    and to the log2(N)-round binary search for small ones, where the
+    fixed cost of a full table+query sort would dominate."""
+    if _use_merge_join(hi_sorted.shape[0], hi_q.shape[0]):
+        pos, _ = merge_join_keys(hi_sorted, lo_sorted, hi_q, lo_q)
+        return pos
     return _searchsorted_keys_xla(hi_sorted, lo_sorted, hi_q, lo_q)
+
+
+def _use_merge_join(ns: int, nq: int) -> bool:
+    # Sort cost ~ (ns + nq); binary-search cost ~ nq * log(ns) rounds of
+    # duplicate-address gathers. Merge wins except when queries are few
+    # relative to the table or the whole problem is tiny.
+    return (ns + nq) >= 8192 and 4 * nq >= ns
+
+
+@jax.jit
+def merge_join_keys(
+    hi_sorted: jax.Array,
+    lo_sorted: jax.Array,
+    hi_q: jax.Array,
+    lo_q: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Sort-based join: ``(lower_bound, found)`` for every query key.
+
+    One stable-free 3-operand ``lax.sort`` of the concatenated
+    (queries ⧺ table) keys replaces the ~log2(N) dependent gather rounds of
+    binary search.  TPU row gathers serialize on duplicate addresses — and
+    kernel-map queries are 27 shifted copies of the table, so nearly every
+    search round hits duplicated rows; sorts and scans are
+    sequential-access and run at HBM bandwidth instead.
+
+    Mechanics: the third sort key puts table rows BEFORE equal query keys,
+    so for a query at merged position p
+      - ``cnt[p] - 1`` (inclusive table-row cumsum) is the rank of the
+        largest table key <= q, and
+      - the query matches iff its run of equal keys contains a table row,
+        i.e. the position of the nearest preceding table row
+        (``cummax(is_table ? p : -1)``) is >= the start of the query's
+        equal-key run (``cummax(key_change ? p : 0)``) —
+    no data-dependent gathers anywhere.  Returns ``(pos [Nq] int32,
+    found [Nq] bool)`` in query order; ``pos`` is lower-bound semantics
+    (first table index with key >= q), clamp before gathering.
+    """
+    ns, nq = hi_sorted.shape[0], hi_q.shape[0]
+    n = ns + nq
+    hi = jnp.concatenate([hi_q, hi_sorted])
+    lo = jnp.concatenate([lo_q, lo_sorted])
+    # third key: table rows (bit31=0) before queries (bit31=1) on equal keys;
+    # low bits carry the query index for the scatter back to query order.
+    key3 = jnp.concatenate(
+        [
+            jnp.uint32(1 << 31) | jnp.arange(nq, dtype=jnp.uint32),
+            jnp.arange(ns, dtype=jnp.uint32),
+        ]
+    )
+    shi, slo, sk3 = jax.lax.sort((hi, lo, key3), num_keys=3, is_stable=False)
+    is_query = (sk3 >> 31).astype(jnp.int32)
+    is_table = 1 - is_query
+    pos_m = jnp.arange(n, dtype=jnp.int32)
+
+    cnt = jnp.cumsum(is_table)  # inclusive: # table rows at-or-before p
+    last_table = jax.lax.cummax(jnp.where(is_table == 1, pos_m, -1))
+    key_change = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+        ]
+    )
+    run_start = jax.lax.cummax(jnp.where(key_change, pos_m, 0))
+    matched = last_table >= run_start
+    # lower bound: with table-first tie-break, cnt counts table keys <= q when
+    # matched (subtract the match itself) and table keys < q when not.
+    lb = jnp.where(matched, cnt - 1, cnt)
+
+    qslot = jnp.where(is_query == 1, (sk3 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32), nq)
+    pos = jnp.zeros((nq + 1,), jnp.int32).at[qslot].set(lb, mode="drop")[:nq]
+    fnd = jnp.zeros((nq + 1,), bool).at[qslot].set(matched, mode="drop")[:nq]
+    fnd = fnd & (hi_q != SENTINEL_HI)
+    return pos, fnd
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -172,7 +244,10 @@ def find_coords(
     n = sorted_coords.shape[0]
     hi_s, lo_s = _masked_keys(sorted_coords, sorted_mask)
     hi_q, lo_q = _masked_keys(query_coords, query_mask)
-    pos = searchsorted_keys(hi_s, lo_s, hi_q, lo_q)
+    if _use_merge_join(n, hi_q.shape[0]):
+        pos, found = merge_join_keys(hi_s, lo_s, hi_q, lo_q)
+        return jnp.clip(pos, 0, n - 1), found
+    pos = _searchsorted_keys_xla(hi_s, lo_s, hi_q, lo_q)
     idx = jnp.clip(pos, 0, n - 1)
     # row gather for the equality check (two scalar gathers are ~30x slower)
     k = jnp.stack([hi_s, lo_s], axis=1)[idx]

@@ -4,6 +4,7 @@ from pct.train.step import (
     make_optimizer,
     make_train_step,
     batch_rd_loss,
+    arrays_to_training_batch,
     frames_to_training_batch,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "make_optimizer",
     "make_train_step",
     "batch_rd_loss",
+    "arrays_to_training_batch",
     "frames_to_training_batch",
 ]

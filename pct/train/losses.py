@@ -52,9 +52,18 @@ def frame_rd_loss(
     key: jax.Array,
     lambda_g: float = 1.0,
     lambda_a: float = 255.0**2 / 1e4,
+    g_ratio: float = 1.0,
+    a_ratio: float = 1.0,
 ) -> tuple[jax.Array, Dict[str, Any]]:
     """RD loss for a single frame block (batch column all zeros). Returns
-    (scalar loss, metrics dict). vmap over frames for a batch."""
+    (scalar loss, metrics dict). vmap over frames for a batch.
+
+    ``g_ratio``/``a_ratio`` > 1 turn the distortion weights into exponential
+    schedules over the quality vector: ``w = lambda * ratio**(q - 1)`` —
+    the spread that makes ``scale_nn``'s gain conditioning learn *separated*
+    operating points (a linear ``lambda*(0.1+q)`` spread collapsed to one
+    effective rate in round 1). ``ratio == 1`` recovers the legacy linear
+    weighting for existing tests."""
     k_z, k_y = jax.random.split(key)
     num_points = jnp.maximum(block.count().astype(jnp.float32), 1.0)
 
@@ -111,8 +120,12 @@ def frame_rd_loss(
     color_mse = jnp.sum(w * (rgb.feats - true_cols) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
 
     bpp = (z_bits + y_bits) / num_points
-    w_g = lambda_g * (0.1 + q[0])
-    w_a = lambda_a * (0.1 + q[1])
+    if g_ratio != 1.0:
+        w_g = lambda_g * jnp.power(jnp.float32(g_ratio), q[0] - 1.0)
+        w_a = lambda_a * jnp.power(jnp.float32(a_ratio), q[1] - 1.0)
+    else:
+        w_g = lambda_g * (0.1 + q[0])
+        w_a = lambda_a * (0.1 + q[1])
     loss = bpp + w_g * occ_loss + w_a * color_mse
     metrics = {
         "bpp": bpp,

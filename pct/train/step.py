@@ -25,16 +25,27 @@ class TrainConfig:
     aux_weight: float = 1e-3
     lambda_g: float = 1.0
     lambda_a: float = 6.5
+    # >1 turns distortion weights into exponential schedules over q
+    # (w = lambda * ratio**(q-1)); 1.0 keeps the legacy linear weighting.
+    g_ratio: float = 1.0
+    a_ratio: float = 1.0
+    grad_clip: float = 0.0  # 0 disables
 
 
 def make_optimizer(cfg: TrainConfig):
+    if cfg.grad_clip > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.learning_rate)
+        )
     return optax.adam(cfg.learning_rate)
 
 
 def batch_rd_loss(model: ColorModel, cfg: TrainConfig, params: Params, batch: SparseBlock, qs: jax.Array, keys: jax.Array):
     """batch: SparseBlock with leading frame axis [B, N, ...]; qs [B, 2]."""
     losses, metrics = jax.vmap(
-        lambda blk, q, k: frame_rd_loss(model, params, blk, q, k, cfg.lambda_g, cfg.lambda_a)
+        lambda blk, q, k: frame_rd_loss(
+            model, params, blk, q, k, cfg.lambda_g, cfg.lambda_a, cfg.g_ratio, cfg.a_ratio
+        )
     )(batch, qs, keys)
     loss = jnp.mean(losses) + cfg.aux_weight * model.entropy_bottleneck.aux_loss(
         params["entropy_bottleneck"]
@@ -57,6 +68,20 @@ def make_train_step(model: ColorModel, cfg: TrainConfig, optimizer):
         return params, opt_state, loss, metrics
 
     return step
+
+
+def arrays_to_training_batch(coords, feats, mask) -> SparseBlock:
+    """Wrap pre-canonicalized per-frame arrays (``pct.train.data.FrameDataset``)
+    into the leading-axis training block without re-sorting: the cache stores
+    frames already in canonical order with padding at the tail."""
+    import jax.numpy as jnp
+
+    return SparseBlock(
+        coords=jnp.asarray(coords),
+        feats=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+        stride=1,
+    )
 
 
 def frames_to_training_batch(frames, capacity: int) -> SparseBlock:

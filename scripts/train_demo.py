@@ -1,4 +1,4 @@
-"""Train the unified codec on the recorded demo sequence.
+"""Train the unified codec on the recorded demo sequences.
 
 The reference demo ships pretrained weights from the external
 Unified-Point-Cloud-Compression trainer; this script provides the equivalent
@@ -6,9 +6,16 @@ in-framework capability: variable-rate RD training of ``pct.models.ColorModel``
 on recorded frames, producing a msgpack checkpoint the pipelines load via
 ``checkpoint_path``.
 
+Round-2 defaults: train on the ``test_sequence`` + ``title_fig`` recordings and
+hold out ``test`` (the bench/eval data) entirely; exponential distortion-weight
+schedules over the quality vector (g_ratio/a_ratio) so the demo's
+``encoding_settings`` ([1,0], [0,1], [1,1]) land on separated rate points; a
+pre-canonicalized frame cache (pct.train.data) instead of per-step host
+canonicalization.
+
 Usage:
-  python scripts/train_demo.py [--steps N] [--batch B] [--capacity C]
-      [--data DIR] [--out PATH] [--lr LR] [--cpu]
+  python scripts/train_demo.py [--steps N] [--minutes M] [--batch B]
+      [--capacity C] [--out PATH] [--resume CKPT] [--cpu] ...
 """
 
 from __future__ import annotations
@@ -22,13 +29,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+TRAIN_DIRS = [
+    "/root/reference/evaluation/data/test_sequence",
+    "/root/reference/evaluation/data/title_fig",
+]
+VAL_DIR = "/root/reference/evaluation/data/test"  # held out: bench/eval data
+DEMO_SETTINGS = np.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], np.float32)
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2000)
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--minutes", type=float, default=0.0, help="stop after M minutes (0 = by steps)")
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=16384)
-    ap.add_argument("--data", default="/root/reference/evaluation/data/test")
+    ap.add_argument("--data-dirs", nargs="*", default=TRAIN_DIRS)
+    ap.add_argument("--val-dir", default=VAL_DIR)
     ap.add_argument("--out", default="checkpoints/demo.msgpack")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--channels", default="16,32,64")
@@ -36,9 +52,17 @@ def main():
     ap.add_argument("--hyper", type=int, default=32)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--val-every", type=int, default=500)
+    ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--resume", default="", help="checkpoint to continue from")
-    ap.add_argument("--lambda-a", type=float, default=6.5)
-    ap.add_argument("--lambda-g", type=float, default=1.0)
+    ap.add_argument("--lambda-a", type=float, default=300.0)
+    ap.add_argument("--lambda-g", type=float, default=10.0)
+    ap.add_argument("--g-ratio", type=float, default=8.0)
+    ap.add_argument("--a-ratio", type=float, default=24.0)
+    ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--corner-prob", type=float, default=0.5,
+                    help="probability a frame's q is one of the demo corner settings")
+    ap.add_argument("--arch", default="", help="model architecture override (see pct.models)")
     args = ap.parse_args()
 
     import jax
@@ -48,24 +72,22 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     import jax.numpy as jnp
+    from flax import serialization
 
     from pct.models import ColorModel, UnifiedConfig, checkpoint
-    from pct.streaming.capturer import load_recorded_frames
     from pct.train import (
         TrainConfig,
-        frames_to_training_batch,
+        arrays_to_training_batch,
         make_optimizer,
         make_train_step,
     )
+    from pct.train.data import FrameDataset, build_cache
 
     print("devices:", jax.devices(), flush=True)
-    recs = load_recorded_frames(args.data)
-    frames = [
-        {"points": f["points"].astype(np.int32), "colors": f["colors"].astype(np.float32)}
-        for f in recs
-    ]
-    print(f"{len(frames)} frames, mean points "
-          f"{np.mean([len(f['points']) for f in frames]):.0f}", flush=True)
+    cache = build_cache(args.data_dirs, args.capacity)
+    ds = FrameDataset(cache)
+    val_ds = FrameDataset(build_cache([args.val_dir], args.capacity))
+    print(f"train {len(ds)} frames (cache {cache}), val {len(val_ds)} frames", flush=True)
 
     if args.resume:
         model, params = checkpoint.load(args.resume)
@@ -78,35 +100,94 @@ def main():
         )
         model = ColorModel(cfg)
         params = model.init_params(jax.random.key(0))
-    tcfg = TrainConfig(learning_rate=args.lr, lambda_a=args.lambda_a, lambda_g=args.lambda_g)
+    tcfg = TrainConfig(
+        learning_rate=args.lr,
+        lambda_a=args.lambda_a,
+        lambda_g=args.lambda_g,
+        g_ratio=args.g_ratio,
+        a_ratio=args.a_ratio,
+        grad_clip=args.grad_clip,
+    )
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
+    if args.resume and os.path.exists(args.resume + ".train"):
+        with open(args.resume + ".train", "rb") as f:
+            opt_state = serialization.from_bytes(opt_state, f.read())
+        print("restored optimizer state", flush=True)
     # donate params/opt_state buffers: halves peak optimizer-state HBM
     step = jax.jit(make_train_step(model, tcfg, opt), donate_argnums=(0, 1))
+
+    # validation: per-setting bpp / color-mse / occ on fixed held-out frames —
+    # the live monitor for rate-ladder separation
+    from pct.train.losses import frame_rd_loss
+
+    @jax.jit
+    def val_metrics(params, coords, feats, mask, q, key):
+        batch = arrays_to_training_batch(coords, feats, mask)
+        keys = jax.random.split(key, coords.shape[0])
+        _, m = jax.vmap(
+            lambda blk, k: frame_rd_loss(model, params, blk, q, k, 1.0, 1.0)
+        )(batch, keys)
+        return jax.tree.map(jnp.mean, m)
+
+    val_rng = np.random.default_rng(7)
+    val_idx = val_rng.integers(0, len(val_ds), 4)
+    val_arrays = val_ds.get(val_idx)
+
+    def run_validation(params, key):
+        out = []
+        for q in DEMO_SETTINGS:
+            m = val_metrics(params, *[jnp.asarray(a) for a in val_arrays], jnp.asarray(q), key)
+            out.append(
+                f"q={q.tolist()}: bpp {float(m['bpp']):.3f} "
+                f"mse {float(m['color_mse']):.5f} occ {float(m['occ_bce']):.4f}"
+            )
+        print("  VAL " + " | ".join(out), flush=True)
+
+    def save(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        checkpoint.save(path, model, params)
+        with open(path + ".train", "wb") as f:
+            f.write(serialization.to_bytes(opt_state))
+        print("saved", path, flush=True)
 
     rng = np.random.default_rng(0)
     key = jax.random.key(1)
     t0 = time.time()
-    for i in range(args.steps):
-        idx = rng.integers(0, len(frames), args.batch)
-        batch = frames_to_training_batch([frames[j] for j in idx], args.capacity)
-        # variable-rate training: sample q per frame incl. the demo's settings
-        qs = jnp.asarray(rng.random((args.batch, 2)) ** 0.5, jnp.float32)
+    i = 0
+    while True:
+        if args.minutes > 0 and (time.time() - t0) / 60 >= args.minutes:
+            break
+        if args.minutes <= 0 and i >= args.steps:
+            break
+        coords, feats, mask = ds.sample(rng, args.batch)
+        # variable-rate training: corners of the demo ladder + uniform fill
+        qs = rng.random((args.batch, 2)).astype(np.float32)
+        corner = rng.random(args.batch) < args.corner_prob
+        corner_q = DEMO_SETTINGS[rng.integers(0, len(DEMO_SETTINGS), args.batch)]
+        qs = np.where(corner[:, None], corner_q, qs)
         key, sub = jax.random.split(key)
-        params, opt_state, loss, metrics = step(params, opt_state, batch, qs, sub)
-        if i % args.log_every == 0 or i == args.steps - 1:
+        batch = arrays_to_training_batch(coords, feats, mask)
+        params, opt_state, loss, metrics = step(
+            params, opt_state, batch, jnp.asarray(qs), sub
+        )
+        if i % args.log_every == 0:
             print(
-                f"step {i:5d} loss {float(loss):8.4f} bpp {float(metrics['bpp']):6.3f} "
+                f"step {i:6d} loss {float(loss):9.4f} bpp {float(metrics['bpp']):6.3f} "
                 f"occ {float(metrics['occ_bce']):6.4f} mse {float(metrics['color_mse']):8.6f} "
                 f"({time.time()-t0:.0f}s)",
                 flush=True,
             )
             if not np.isfinite(float(loss)):
                 raise SystemExit("diverged")
+        if i and i % args.val_every == 0:
+            run_validation(params, jax.random.key(123))
+        if i and i % args.save_every == 0:
+            save(args.out)
+        i += 1
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    checkpoint.save(args.out, model, params)
-    print("saved", args.out, flush=True)
+    run_validation(params, jax.random.key(123))
+    save(args.out)
 
 
 if __name__ == "__main__":
