@@ -38,12 +38,15 @@ def _load_lib():
             return _lib
         try:
             if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_CPP):
+                # pid-unique tmp: encoder/decoder services starting together on
+                # a fresh host must not interleave writes to one tmp file
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _CPP],
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _CPP],
                     check=True,
                     capture_output=True,
                 )
-                os.replace(_SO + ".tmp", _SO)
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.pct_rans_encode.restype = ctypes.c_int
             lib.pct_rans_decode.restype = ctypes.c_int

@@ -57,9 +57,9 @@ def load_data(sender_csv: str, receiver_csv: str) -> pd.DataFrame:
     """Outer-join on segment ID; ``packet_received`` False marks loss."""
     s = pd.read_csv(sender_csv)
     r = pd.read_csv(receiver_csv)
+    r["packet_received"] = True  # explicit merge flag (reference plot.py:70)
     df = s.merge(r, on="ID", how="left", suffixes=("_tx", "_rx"))
-    probe = [c for c in r.columns if c != "ID"]
-    df["packet_received"] = df[[c + "_rx" if c + "_rx" in df else c for c in probe[:1]]].notna().any(axis=1) if probe else False
+    df["packet_received"] = df["packet_received"].fillna(False).astype(bool)
     return df
 
 

@@ -29,12 +29,15 @@ def _load_lib():
     with _lock:
         if _lib is None:
             if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_CPP):
+                # pid-unique tmp: concurrent first-use builds must not
+                # interleave writes to one tmp file (cross-process races)
+                tmp = f"{_SO}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _CPP],
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _CPP],
                     check=True,
                     capture_output=True,
                 )
-                os.replace(_SO + ".tmp", _SO)
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.pct_gpcc_encode.restype = ctypes.c_int
             lib.pct_gpcc_decode.restype = ctypes.c_int

@@ -72,6 +72,15 @@ class UnifiedConfig:
     scale_nn_hidden: int = 64
     eps: float = 1e-6  # gain floor (reference `entropy_model.eps`)
     num_levels: int = 3  # stride-2 stages between voxels and latents
+    # "v1": conv+down per analysis level, 27-tap conv at every synthesis level.
+    # "v2": TPU-first redesign — the stride-1 grid (the largest level) never
+    # sees a searched 27-tap kernel map on either side: analysis starts with
+    # the search-free patchify down-conv, and the final synthesis level mixes
+    # the 8 siblings of each parent cell with one dense GEMM (the family MLP)
+    # instead of a stride-1 conv. Kernel maps then only exist on grids 3.5x+
+    # smaller. Same wire contract (k pyramid, bitstream) as v1.
+    arch: str = "v1"
+    family_channels: int = 32  # v2 synthesis family-mix width
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
@@ -125,17 +134,29 @@ class ColorModel:
         keys = iter(jax.random.split(key, 64))
         p: Params = {"g_a": {}, "h_a": {}, "h_s": {}, "g_s": {}, "scale_nn": {}}
 
-        # g_a: per level: conv3 + relu, down2; final conv3 to latent
+        # g_a v1: per level: conv3 + relu, down2; final conv3 to latent.
+        # g_a v2: down2 first (search-free patchify), then conv3 on the
+        # 3.5x-smaller grid — the stride-1 level never builds a kernel map.
         cin = cfg.in_channels
         for i, c in enumerate(cfg.channels):
-            p["g_a"][f"conv{i}"] = {
-                "w": _conv_init(next(keys), 27, cin, c),
-                "b": jnp.zeros((c,), jnp.float32),
-            }
-            p["g_a"][f"down{i}"] = {
-                "w": _conv_init(next(keys), 8, c, c),
-                "b": jnp.zeros((c,), jnp.float32),
-            }
+            if cfg.arch == "v2":
+                p["g_a"][f"down{i}"] = {
+                    "w": _conv_init(next(keys), 8, cin, c),
+                    "b": jnp.zeros((c,), jnp.float32),
+                }
+                p["g_a"][f"conv{i}"] = {
+                    "w": _conv_init(next(keys), 27, c, c),
+                    "b": jnp.zeros((c,), jnp.float32),
+                }
+            else:
+                p["g_a"][f"conv{i}"] = {
+                    "w": _conv_init(next(keys), 27, cin, c),
+                    "b": jnp.zeros((c,), jnp.float32),
+                }
+                p["g_a"][f"down{i}"] = {
+                    "w": _conv_init(next(keys), 8, c, c),
+                    "b": jnp.zeros((c,), jnp.float32),
+                }
             cin = c
         p["g_a"]["out"] = {
             "w": _conv_init(next(keys), 27, cin, cfg.latent_channels),
@@ -160,16 +181,16 @@ class ColorModel:
             "b": jnp.zeros((2 * cfg.latent_channels,), jnp.float32),
         }
 
-        # g_s: 3 levels of generative up + conv + occupancy head; final rgb
+        # g_s: 3 levels of generative up + conv + occupancy head; final rgb.
+        # v2: the last level replaces the stride-1 27-tap conv with a family
+        # MLP (dense mix of the 8 sibling slots of each parent cell) and a
+        # dense rgb head — no kernel map on the largest grid.
         cin = cfg.latent_channels
         up_channels = tuple(reversed(cfg.channels))  # e.g. (128, 64, 32)
+        last = len(up_channels) - 1
         for i, c in enumerate(up_channels):
             p["g_s"][f"up{i}"] = {
                 "w": _conv_init(next(keys), 8, cin, c),
-                "b": jnp.zeros((c,), jnp.float32),
-            }
-            p["g_s"][f"conv{i}"] = {
-                "w": _conv_init(next(keys), 27, c, c),
                 "b": jnp.zeros((c,), jnp.float32),
             }
             # occupancy head scores all 8 child slots from the PARENT features
@@ -179,11 +200,27 @@ class ColorModel:
                 "w": _dense_init(next(keys), cin, 8),
                 "b": jnp.zeros((8,), jnp.float32),
             }
+            if cfg.arch == "v2" and i == last:
+                fc = cfg.family_channels
+                p["g_s"]["fam"] = {
+                    "w": _dense_init(next(keys), 8 * c, 8 * fc),
+                    "b": jnp.zeros((8 * fc,), jnp.float32),
+                }
+                p["g_s"]["rgb"] = {
+                    "w": _dense_init(next(keys), fc, 3),
+                    "b": jnp.zeros((3,), jnp.float32),
+                }
+            else:
+                p["g_s"][f"conv{i}"] = {
+                    "w": _conv_init(next(keys), 27, c, c),
+                    "b": jnp.zeros((c,), jnp.float32),
+                }
             cin = c
-        p["g_s"]["rgb"] = {
-            "w": _conv_init(next(keys), 27, cin, 3),
-            "b": jnp.zeros((3,), jnp.float32),
-        }
+        if cfg.arch != "v2":
+            p["g_s"]["rgb"] = {
+                "w": _conv_init(next(keys), 27, cin, 3),
+                "b": jnp.zeros((3,), jnp.float32),
+            }
 
         # scale_nn: q[2] -> gain[latent]
         p["scale_nn"]["w0"] = _dense_init(next(keys), 2, cfg.scale_nn_hidden)
@@ -215,20 +252,37 @@ class ColorModel:
         canonical valid-first so a static slice only drops padding). Callers
         must verify the returned counts fit the caps (the serial encoder
         falls back to uncapped on overflow)."""
+        from pct.ops.conv import build_kmap
         from pct.sparse.block import truncate_capacity
 
         p = params["g_a"]
         x = block
         counts = []  # counts at stride 1, 2, 4 (before each downsample)
+        last = self.config.num_levels - 1
         for i in range(self.config.num_levels):
             counts.append(counts_per_batch(x.coords[:, 0], x.mask, num_frames))
-            h = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"])
-            h = h.with_feats(jax.nn.relu(h.feats))
-            x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
-            x = x.with_feats(jax.nn.relu(x.feats))
-            if level_caps is not None:
-                x = truncate_capacity(x, level_caps[i])
-        y = sparse_conv(x, p["out"]["w"], p["out"]["b"])
+            if self.config.arch == "v2":
+                # patchify first (search-free segment-sum down), conv on the
+                # 3.5x-smaller grid — no kernel map at the input stride
+                x = sparse_conv_down(x, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
+                x = x.with_feats(jax.nn.relu(x.feats))
+                if level_caps is not None:
+                    x = truncate_capacity(x, level_caps[i])
+                kmap = build_kmap(x, 3)
+                x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
+                x = x.with_feats(jax.nn.relu(x.feats))
+            else:
+                h = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"])
+                h = h.with_feats(jax.nn.relu(h.feats))
+                x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
+                x = x.with_feats(jax.nn.relu(x.feats))
+                if level_caps is not None:
+                    x = truncate_capacity(x, level_caps[i])
+        if self.config.arch == "v2":
+            # conv{last} and the latent projection share the stride-8 grid
+            y = sparse_conv(x, p["out"]["w"], p["out"]["b"], kmap=kmap)
+        else:
+            y = sparse_conv(x, p["out"]["w"], p["out"]["b"])
         ks = jnp.stack(list(reversed(counts)), axis=0)  # [L, B]: stride 4, 2, 1
         return y, ks
 
@@ -348,6 +402,8 @@ class ColorModel:
         p = params["g_s"]
         x = y_hat
         aux = []
+        last = self.config.num_levels - 1
+        v2 = self.config.arch == "v2"
         for i in range(self.config.num_levels):
             n = x.capacity
             child_stride = x.stride // 2
@@ -382,14 +438,32 @@ class ColorModel:
             premul = jnp.einsum(
                 "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"], preferred_element_type=x.feats.dtype
             ) + p[f"up{i}"]["b"]
-            feats = premul.reshape(n * 8, -1)[perm]
-            feats = jnp.where(km[:, None], feats, 0)
-            x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
-            kmap = build_kmap(x, 3)
-            x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
-            x = x.with_feats(jax.nn.relu(x.feats))
-        # rgb head shares the last level's coordinates -> reuse its kernel map
-        rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
+            if v2 and i == last:
+                # family MLP: mix the 8 sibling slots of each parent cell with
+                # one dense GEMM in parent-major order (masked to survivors),
+                # then gather each survivor's slot — the stride-1 grid never
+                # builds a kernel map. Cross-cell context comes from the
+                # coarser levels' 27-tap convs.
+                c_up = premul.shape[-1]
+                fam_in = jnp.where(
+                    kept_mask.reshape(n, 8)[..., None], premul, 0
+                ).reshape(n, 8 * c_up)
+                fc = self.config.family_channels
+                fam = jax.nn.relu(fam_in @ p["fam"]["w"] + p["fam"]["b"]).reshape(n * 8, fc)
+                feats = fam[perm]
+                rgbf = feats @ p["rgb"]["w"] + p["rgb"]["b"]
+                rgbf = jnp.where(km[:, None], rgbf, 0)
+                rgb = SparseBlock(coords=kc, feats=rgbf, mask=km, stride=child_stride)
+            else:
+                feats = premul.reshape(n * 8, -1)[perm]
+                feats = jnp.where(km[:, None], feats, 0)
+                x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
+                kmap = build_kmap(x, 3)
+                x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
+                x = x.with_feats(jax.nn.relu(x.feats))
+        if not v2:
+            # rgb head shares the last level's coordinates -> reuse its kernel map
+            rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
         if return_logits:
             return rgb, aux
         return rgb

@@ -5,5 +5,13 @@ from pct.parallel.mesh import (
     replicated,
     param_spec,
 )
+from pct.parallel.infer import ShardedFrameEncoder
 
-__all__ = ["make_mesh", "shard_params", "shard_batch", "replicated", "param_spec"]
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "shard_batch",
+    "replicated",
+    "param_spec",
+    "ShardedFrameEncoder",
+]

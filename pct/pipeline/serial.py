@@ -47,6 +47,7 @@ import numpy as np
 from pct.entropy.bitstream import SegmentBitstream, pack_segment
 from pct.gpcc import decode_points, encode_points
 from pct.models.unified import ColorModel, Params
+from pct.sparse import coords as coords_lib
 from pct.sparse.block import SparseBlock, bucket_size, canonicalize
 
 
@@ -69,9 +70,19 @@ def frames_to_block(frames: Sequence[dict], capacity: int | None = None) -> Spar
 
 
 def _frames_to_arrays(frames: Sequence[dict], capacity: int | None = None):
+    if len(frames) >= 0xFFFF:
+        raise ValueError(f"batch of {len(frames)} frames exceeds the 16-bit batch-index range")
     coords, feats = [], []
     for b, fr in enumerate(frames):
         pts = np.asarray(fr["points"], np.int32)
+        if pts.size and (pts.min() < -coords_lib.COORD_BIAS or pts.max() >= coords_lib.COORD_BIAS):
+            # out-of-range coordinates would silently wrap in the packed
+            # canonical keys (pct/sparse/coords.py contract) and corrupt the
+            # bitstream geometry
+            raise ValueError(
+                f"frame {b}: coordinates outside [-{coords_lib.COORD_BIAS}, "
+                f"{coords_lib.COORD_BIAS}): min {int(pts.min())}, max {int(pts.max())}"
+            )
         col = np.asarray(fr["colors"], np.float32)
         n = pts.shape[0]
         coords.append(np.concatenate([np.full((n, 1), b, np.int32), pts], axis=1))

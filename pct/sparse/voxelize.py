@@ -47,6 +47,12 @@ def voxelize_points(
     vox = jnp.round(points.astype(jnp.float32) / voxel_size).astype(jnp.int32)
     b = jnp.full((n, 1), batch_index, jnp.int32)
     coords = jnp.concatenate([b, vox], axis=1)
+    # voxel indices outside the packed-key range would wrap into corrupt
+    # canonical order (pct/sparse/coords.py contract) — drop them instead
+    from pct.sparse.coords import COORD_BIAS
+
+    in_range = jnp.all((vox >= -COORD_BIAS) & (vox < COORD_BIAS), axis=1)
+    mask = mask & in_range
 
     if max_points is not None and max_points < n:
         # Dedup first (stable: first occurrence wins), then cap by largest z.

@@ -26,6 +26,7 @@ from pct.config import Config
 from pct.streaming.downloader import SegmentDownloader
 from pct.streaming.mpd import MPDParser
 from pct.streaming.transport import PullSocket, PushSocket
+from pct.streaming.transport import loads as transport_loads
 from pct.utils import append_csv_row, stamp
 
 
@@ -63,26 +64,45 @@ class StreamingClient:
 
     # ------------------------------------------------------------------
     def download_loop(self, max_segments: Optional[int] = None) -> None:
+        """Wall-clock segment scheduling (reference ``client.py:74-96``):
+        the next segment number is ``floor(now / segment_duration)`` — the
+        sender numbers segments on the same absolute grid
+        (``media_server.segment_number``) — gated on the manifest's
+        ``publishTime`` changing, then sleep until the next grid point minus
+        ``request_offset``."""
         last = -1
+        last_publish = None
         done = 0
         while not self._stop.is_set():
             if not self.mpd.update_mpd():
                 time.sleep(self.segment_duration / 4)
                 continue
-            latest = self.mpd.mpd.get("latestSegmentNumber")
-            if latest is None:
-                time.sleep(self.segment_duration / 4)
-                continue
-            number = int(latest)
-            if number <= last:
-                # nothing new yet: poll at ~4 Hz relative to segment cadence
+            publish_time = self.mpd.mpd.get("publishTime")
+            if publish_time is None or publish_time == last_publish:
+                # nothing newly published: poll at ~4 Hz relative to cadence
                 time.sleep(max(self.segment_duration / 4, 0.05))
                 continue
-            last = number
-            if self.download_segment(number):
+            last_publish = publish_time
+            number = int(time.time() // self.segment_duration)
+            adv = self.mpd.mpd.get("latestSegmentNumber")
+            adv = int(adv) if adv is not None else None
+            ok = False
+            if number > last:
+                ok = self.download_segment(number)
+                last = number
+            if not ok and adv is not None and adv != number and adv > last:
+                # publisher grid offset (slow encoder, clock skew, finite
+                # playback): fall back to the newest advertised segment
+                ok = self.download_segment(adv)
+                last = max(last, adv)
+            if ok:
                 done += 1
                 if max_segments is not None and done >= max_segments:
                     return
+            wake = (number + 1) * self.segment_duration - self.request_offset
+            sleep = wake - time.time()
+            if sleep > 0:
+                self._stop.wait(sleep)
 
     def download_segment(self, number: int) -> bool:
         reps = self.mpd.get_representations()
@@ -91,15 +111,27 @@ class StreamingClient:
             (r["codecs"] for r in reps if int(r["id"]) == quality), "unified"
         )
         t0 = time.time()
-        data = self.downloader.download_segment(quality, number)
-        if data is None:
+        raw = self.downloader.download_segment(quality, number)
+        if raw is None:
             print(f"[client] segment {number} lost", flush=True)
             return False
+        # segment files wrap {data, sideinfo}: forward the sender's traveling
+        # sideinfo (capture/codec timestamps + E* step timings) alongside the
+        # receiver's own, as the reference does (client.py:107-118)
+        try:
+            wrapped = transport_loads(raw)
+            data = bytes(wrapped["data"])
+            tx_info = wrapped.get("sideinfo", {})
+        except Exception:
+            data, tx_info = raw, {}
         sideinfo = {
             "segment_number": number,
             "quality": quality,
             "download_time": time.time() - t0,
             "num_bytes": len(data),
+            "encoder_time_measurements": tx_info.get("time_measurements", {}),
+            "gop_info": tx_info.get("gop_info", {}),
+            "timestamps": dict(tx_info.get("timestamps", {})),
         }
         stamp(sideinfo, "client_received")
         self.decoder_push.send(
@@ -125,9 +157,13 @@ class StreamingClient:
             stamp(sideinfo, "client_playout_scheduled")
             frames = msg["frames"]
             number = int(msg.get("segment_number", 0))
-            seg_start = number * self.segment_duration
+            # anchor playout to the wall-clock segment grid (reference
+            # ``client.py:127-154``): deadlines derive from the segment
+            # number, not the decode-arrival time, so inter-segment pacing
+            # does not drift with download/decode jitter; the max() only
+            # defers segments that arrived after their scheduled start
             now = time.time()
-            base = now + self.playout_offset - self.segment_duration
+            base = max(number * self.segment_duration + self.playout_offset, now)
             with self._playout_cv:
                 for i, f in enumerate(frames):
                     deadline = base + (i + 1) * self.segment_duration / max(len(frames), 1)

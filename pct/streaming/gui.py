@@ -32,8 +32,33 @@ button.active{background:#2a6}
  e2e latency: <span id="lat">-</span> ms</div>
 <canvas id="bwc" width="900" height="160"></canvas>
 <canvas id="latc" width="900" height="160"></canvas>
+<div>encoder steps (s/segment)</div><canvas id="encc" width="900" height="160"></canvas>
+<div id="encleg"></div>
+<div>decoder steps (s/segment)</div><canvas id="decc" width="900" height="160"></canvas>
+<div id="decleg"></div>
 <script>
-const hist = {bw: [], lat: []};
+const hist = {bw: [], lat: [], enc: [], dec: []};
+const COLORS = ['#2a6','#26a','#a62','#a26','#6a2','#62a','#aa4','#4aa'];
+function drawStacked(c, rows, legendEl) {
+  // rows: array of {step: seconds} dicts (one per segment, newest last)
+  const ctx = c.getContext('2d'); ctx.clearRect(0,0,c.width,c.height);
+  if (!rows.length) return;
+  const steps = Object.keys(rows[rows.length-1]);
+  const totals = rows.map(r => steps.reduce((s,k)=>s+(r[k]||0), 0));
+  const max = Math.max(...totals) * 1.1 + 1e-9;
+  const w = Math.max(2, Math.floor(c.width/rows.length));
+  rows.forEach((r,i)=>{
+    let y = c.height;
+    steps.forEach((k,j)=>{
+      const h = ((r[k]||0)/max)*c.height;
+      ctx.fillStyle = COLORS[j % COLORS.length];
+      ctx.fillRect(i*w, y-h, w-1, h); y -= h;
+    });
+  });
+  ctx.fillStyle='#888'; ctx.fillText(max.toFixed(2)+'s', 4, 12);
+  if (legendEl) legendEl.innerHTML = steps.map((k,j)=>
+    `<span style="color:${COLORS[j % COLORS.length]}">&#9632; ${k}</span>`).join(' ');
+}
 function draw(c, data, color) {
   const ctx = c.getContext('2d'); ctx.clearRect(0,0,c.width,c.height);
   if (!data.length) return;
@@ -51,9 +76,12 @@ async function tick() {
     document.getElementById('pts').textContent = d.points;
     document.getElementById('lat').textContent = (d.latency*1000).toFixed(0);
     hist.bw.push(d.bandwidth/1000); hist.lat.push(d.latency*1000);
-    if (hist.bw.length>120){hist.bw.shift();hist.lat.shift();}
+    hist.enc.push(d.encoder_latencies||{}); hist.dec.push(d.decoder_latencies||{});
+    if (hist.bw.length>120){hist.bw.shift();hist.lat.shift();hist.enc.shift();hist.dec.shift();}
     draw(document.getElementById('bwc'), hist.bw, '#2a6');
     draw(document.getElementById('latc'), hist.lat, '#26a');
+    drawStacked(document.getElementById('encc'), hist.enc, document.getElementById('encleg'));
+    drawStacked(document.getElementById('decc'), hist.dec, document.getElementById('decleg'));
     const q = document.getElementById('qual');
     if (q.children.length != d.num_qualities) {
       q.innerHTML='quality: ';
@@ -93,6 +121,7 @@ class DashboardGUI:
     # called by the client's decoder_receiver (1 Hz effective)
     def update_stats(self, sideinfo: dict, frames: list) -> None:
         tm = sideinfo.get("time_measurements", {})
+        etm = sideinfo.get("encoder_time_measurements", {})
         ts = sideinfo.get("timestamps", {})
         self._stats.update(
             {
@@ -106,7 +135,8 @@ class DashboardGUI:
                 if ts.get("capturing")
                 else 0.0,
                 "quality": sideinfo.get("quality", self._stats["quality"]),
-                "decoder_latencies": {k: tm.get(k, 0.0) for k in tm},
+                "encoder_latencies": {k: float(v) for k, v in etm.items()},
+                "decoder_latencies": {k: float(v) for k, v in tm.items()},
             }
         )
 
@@ -147,6 +177,7 @@ class DashboardGUI:
                 else:
                     self._send(404, b"{}")
 
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
         self.httpd = socketserver.ThreadingTCPServer(("0.0.0.0", self.port), Handler)
         self.httpd.daemon_threads = True
         self.httpd.serve_forever()

@@ -5,8 +5,10 @@ segments from the encoder, buffers them, publishes each quality level to
 ``media/ID{q}/segment-{N:015d}.bin`` (atomic tmp+rename) at
 ``capture_time + publish_offset``, updates the live MPD, deletes segments
 more than 10 behind, and appends the sender CSV telemetry row. Quality 0 is
-the raw passthrough representation (``codecs="raw"``); the segment file
-payload is the packed bitstream container (not pickle).
+the raw passthrough representation (``codecs="raw"``). Segment files wrap
+``{data: payload, sideinfo}`` in msgpack (the pickle-free analog of the
+reference's ``pickle.dumps((bytes, sideinfo))``, ``media_server.py:131-141``)
+so encoder step timings travel to the receiver.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import numpy as np
 
 from pct.config import Config
 from pct.streaming.mpd import MPDManager
-from pct.streaming.transport import PullSocket
+from pct.streaming.transport import PullSocket, dumps
 from pct.utils import append_csv_row, stamp
 
 
@@ -66,6 +68,7 @@ class HTTPServerHandler:
         handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
             *a, directory=directory, **kw
         )
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
         self.httpd = socketserver.ThreadingTCPServer(("0.0.0.0", port), handler)
         self.httpd.daemon_threads = True
 
@@ -98,11 +101,14 @@ class StreamingServer:
         self.log_path = os.path.join(
             self.config.get("log_dir", "/tmp/pct_logs"), "sender", "log.csv"
         )
-        self._epoch = time.time()
 
     # ------------------------------------------------------------------
     def segment_number(self, capture_time: float) -> int:
-        return int((capture_time + self.publish_offset - self._epoch) / self.segment_duration)
+        """Absolute wall-clock grid (reference ``media_server.py:127-128``):
+        ``floor((capture + publish_offset) / segment_duration)`` with no local
+        epoch, so the receiver can derive the same number from its own clock
+        (``StreamingClient.download_loop``) without coordination."""
+        return int((capture_time + self.publish_offset) // self.segment_duration)
 
     def handle_data(self, msg: dict) -> None:
         sideinfo = msg.get("sideinfo", {})
@@ -118,8 +124,12 @@ class StreamingServer:
             d = os.path.join(self.media_dir, f"ID{q}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"segment-{number:015d}.bin")
+            # segment file = payload + traveling sideinfo (the reference's
+            # pickle((bytes, sideinfo)) at media_server.py:131-141, msgpack
+            # here) so encoder-side step timings reach the receiver dashboard
+            wrapped = dumps({"data": blob, "sideinfo": sideinfo})
             with open(path + ".tmp", "wb") as f:
-                f.write(blob)
+                f.write(wrapped)
             os.replace(path + ".tmp", path)
             self.mpd.update_metadata(q, int(len(blob) * 8 / self.segment_duration))
 

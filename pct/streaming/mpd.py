@@ -72,7 +72,14 @@ class MPDManager:
                 rep.set("bandwidth", str(int(bandwidth)))
 
     def update_segment(self, number: int) -> None:
-        self.mpd.set("publishTime", time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+        # fractional seconds: two publishes within one wall second must still
+        # produce distinct publishTime values (the client's download gate)
+        t = time.time()
+        frac = f"{t % 1:.3f}"[1:]  # ".123"
+        self.mpd.set(
+            "publishTime",
+            time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(t)) + frac + "Z",
+        )
         self.mpd.set("latestSegmentNumber", str(number))
 
     def save_mpd(self, path: str) -> None:
@@ -109,6 +116,8 @@ class MPDParser:
 
         out = {
             "type": root.get("type"),
+            "publishTime": root.get("publishTime"),
+            "availabilityStartTime": root.get("availabilityStartTime"),
             "latestSegmentNumber": root.get("latestSegmentNumber"),
             "periods": [],
         }

@@ -160,6 +160,7 @@ class VisualizerBackend:
                 self.end_headers()
                 self.wfile.write(page)
 
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
         httpd = socketserver.ThreadingTCPServer(("0.0.0.0", self.http_port), Handler)
         httpd.daemon_threads = True
         threading.Thread(target=httpd.serve_forever, daemon=True).start()

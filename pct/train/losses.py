@@ -63,12 +63,24 @@ def frame_rd_loss(
     the spread that makes ``scale_nn``'s gain conditioning learn *separated*
     operating points (a linear ``lambda*(0.1+q)`` spread collapsed to one
     effective rate in round 1). ``ratio == 1`` recovers the legacy linear
-    weighting for existing tests."""
+    weighting for existing tests.
+
+    Level capacities: surface clouds shrink ~2-4x per stride level, so the
+    deeper analysis levels and the 8x synthesis candidate grids run under
+    static fractional caps (as the serial encoder does) — full-capacity
+    levels at stride 8 are ~97% padding and tripled the round-1 step time.
+    """
     k_z, k_y = jax.random.split(key)
     num_points = jnp.maximum(block.count().astype(jnp.float32), 1.0)
+    cap = block.capacity
+    if cap >= 4096:
+        caps_a = (cap // 2, cap // 4, cap // 8)
+        caps_s = (cap // 4, cap // 2, cap)
+    else:
+        caps_a = caps_s = (cap,) * model.config.num_levels
 
     # analysis
-    y, ks = model.g_a(params, block, 1)  # ks: [3, 1]
+    y, ks = model.g_a(params, block, 1, level_caps=caps_a)  # ks: [3, 1]
     z = model.h_a(params, y)
 
     # hyper rate (noise quantization), channel-major [C, N]
@@ -97,8 +109,7 @@ def frame_rd_loss(
     # block capacity (otherwise candidate grids grow 8x per level in the
     # backward and blow HBM)
     y_hat = y.with_feats(y_noisy / gain)
-    caps = (block.capacity,) * model.config.num_levels
-    rgb, aux = model.g_s(params, y_hat, ks, level_capacities=caps, return_logits=True)
+    rgb, aux = model.g_s(params, y_hat, ks, level_capacities=caps_s, return_logits=True)
 
     # occupancy BCE per level against the true coordinate pyramid (the g_s
     # aux entries are the 8x candidate grids scored from parent features)

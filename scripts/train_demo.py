@@ -62,7 +62,8 @@ def main():
     ap.add_argument("--grad-clip", type=float, default=1.0)
     ap.add_argument("--corner-prob", type=float, default=0.5,
                     help="probability a frame's q is one of the demo corner settings")
-    ap.add_argument("--arch", default="", help="model architecture override (see pct.models)")
+    ap.add_argument("--arch", default="v1", help="model architecture: v1 | v2 (pct.models.UnifiedConfig)")
+    ap.add_argument("--family", type=int, default=32, help="v2 family-mix channels")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +98,8 @@ def main():
             channels=tuple(int(c) for c in args.channels.split(",")),
             latent_channels=args.latent,
             hyper_channels=args.hyper,
+            arch=args.arch,
+            family_channels=args.family,
         )
         model = ColorModel(cfg)
         params = model.init_params(jax.random.key(0))

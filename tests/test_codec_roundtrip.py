@@ -135,3 +135,56 @@ def test_instances_share_jit_traces(codec, rng):
     enc2 = SerialEncoder(enc.model, enc.params)
     enc2.compress(frames, [[1.0, 1.0]])
     assert SerialEncoder._stage1._cache_size() == before
+
+
+def test_overflow_fallback_matches_uncapped(codec, rng):
+    """A dense (non-surface) cloud violates the fractional level-capacity
+    assumption; the encoder must detect the overflow, re-run at full
+    capacity, and produce a bitstream identical to an uncapped encode
+    (serial.py overflow path) — the silent-fallback perf cliff must at least
+    be *correct*."""
+    from pct.pipeline import serial as serial_mod
+
+    enc, dec = codec
+    # widely-scattered points: no stride-2 cell merging, so every level's
+    # occupancy stays ~= n — far above the fractional caps
+    pts = np.unique(rng.integers(0, 600, (6000, 3)).astype(np.int32) * 4, axis=0)
+    frames = [{"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)}]
+    settings = [[1.0, 1.0]]
+
+    dev = enc.device_encode(frames, settings)
+
+    # the fractional caps must have been insufficient (the fallback fired)
+    cap = serial_mod.bucket_size(pts.shape[0])
+    level_caps, _ = serial_mod._caps_for(cap)
+    if cap > serial_mod.SMALL_INPUT:
+        assert int(dev["ks"][1].sum()) >= level_caps[0], "test cloud not dense enough"
+
+    # parity with an explicitly uncapped encode: identical counts + planes
+    import jax.numpy as jnp
+
+    from pct.pipeline.serial import _frames_to_arrays
+
+    coords, feats, mask = _frames_to_arrays(frames)
+    out_full = enc._stage1(
+        enc.params,
+        jnp.asarray(coords),
+        jnp.asarray(feats),
+        jnp.asarray(mask),
+        jnp.asarray(np.asarray(settings, np.float32)),
+        1,
+        (cap,) * len(level_caps),
+        cap,
+    )
+    meta = np.asarray(out_full[0])
+    ny = int(meta[-3])
+    np.testing.assert_array_equal(dev["ks"], meta[:-3].reshape(3, 1))
+    assert dev["ny"] == ny and dev["nz"] == int(meta[-2])
+    np.testing.assert_array_equal(dev["y_coords"], np.asarray(out_full[1])[:ny])
+    np.testing.assert_array_equal(dev["y_syms"], np.asarray(out_full[2])[:, :ny])
+    np.testing.assert_array_equal(dev["z_syms"], np.asarray(out_full[4])[: dev["nz"]])
+
+    # decoded frame keeps exact point-count parity through the k contract
+    levels, _ = enc.compress(frames, settings)
+    out, _ = dec.decompress(levels[0])
+    assert out[0]["points"].shape[0] == pts.shape[0]

@@ -31,13 +31,21 @@ def test_dashboard_data_and_quality_override():
             "download_time": 0.1,
             "quality": 0,
             "timestamps": {"capturing": time.time() - 1.5, "client_playout_scheduled": time.time()},
-            "time_measurements": {"synthesis_transform": 0.1},
+            "time_measurements": {"synthesis_transform": 0.1, "guassian_model": 0.02},
+            "encoder_time_measurements": {"analysis": 0.2, "gaussian_model": 0.05},
         },
         [{"points": np.zeros((10, 3))}],
     )
     with urllib.request.urlopen("http://127.0.0.1:18300/data", timeout=5) as r:
         data = json.loads(r.read())
     assert data["points"] == 10 and data["bandwidth"] > 0 and data["latency"] > 1.0
+    # per-step E/D latencies served for the stacked step bars
+    assert data["decoder_latencies"]["synthesis_transform"] == pytest.approx(0.1)
+    assert data["encoder_latencies"]["analysis"] == pytest.approx(0.2)
+    # the page renders the stacked-bar charts for both
+    with urllib.request.urlopen("http://127.0.0.1:18300/", timeout=5) as r:
+        page = r.read().decode()
+    assert "drawStacked" in page and "encoder_latencies" in page
 
     # quality override POST (reference gui.py:17-22 surface)
     req = urllib.request.Request(

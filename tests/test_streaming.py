@@ -157,8 +157,10 @@ def test_end_to_end_streaming(tmp_path, rng):
             "recording_path": "/root/reference/evaluation/data/test",
             "target_fps": 2,
             "segment_duration": 1.0,
-            "publish_offset": 0.5,
-            "playout_offset": 1.0,
+            # wall-clock scheduling (reference semantics) requires
+            # publish_offset > encode latency: cover CPU jit warmup
+            "publish_offset": 3.0,
+            "playout_offset": 4.0,
             "request_offset": 0.2,
             "encoding_settings": [[1.0, 1.0]],
             "encoder_address": addr(2),
@@ -182,6 +184,16 @@ def test_end_to_end_streaming(tmp_path, rng):
     params = model.init_params(jax.random.key(0))
     enc_pipe = CompressionPipeline(model, params)
     dec_pipe = DecompressionPipeline(model, params)
+    # pre-warm jit so encode latency stays under publish_offset
+    warm = [
+        {
+            "points": rng.integers(-50, 50, (500, 3)).astype(np.int32),
+            "colors": rng.random((500, 3)).astype(np.float32),
+        }
+        for _ in range(2)
+    ]
+    levels, _ = enc_pipe.compress(warm, cfg["encoding_settings"])
+    dec_pipe.decompress(levels[0].pack())
 
     view_pull = PullSocket(addr(6))
     launcher = SystemLauncher(cfg, enc_pipeline=enc_pipe, dec_pipeline=dec_pipe)
@@ -201,3 +213,56 @@ def test_end_to_end_streaming(tmp_path, rng):
     assert os.path.exists(rx)
     launcher.stop()
     view_pull.close()
+
+
+def test_playout_anchors_to_segment_grid(tmp_path):
+    """Per-frame playout deadlines derive from the wall-clock segment grid
+    (reference client.py:127-154), so inter-frame pacing stays uniform even
+    when decoded segments arrive with download/decode jitter."""
+    from pct.streaming.client import StreamingClient
+
+    seg_dur = 0.4
+    cfg = Config.load()
+    cfg.update(
+        {
+            "segment_duration": seg_dur,
+            "playout_offset": 0.8,
+            "request_offset": 0.1,
+            "mpd_url": f"http://127.0.0.1:{BASE_PORT + 90}/manifest.mpd",
+            "decoder_address": addr(40),
+            "client_address": addr(41),
+            "visualizer_address": addr(42),
+            "log_dir": str(tmp_path / "logs"),
+        }
+    )
+    view_pull = PullSocket(addr(42))
+    client = StreamingClient(cfg)
+    recv_t = threading.Thread(target=client.decoder_receiver, kwargs={"max_segments": 3}, daemon=True)
+    send_t = threading.Thread(target=client.visualizer_sender, daemon=True)
+    recv_t.start()
+    send_t.start()
+
+    push = PushSocket(addr(41))
+    frames = [
+        {"points": np.zeros((4, 3), np.int32), "colors": np.zeros((4, 3), np.float32)}
+        for _ in range(2)
+    ]
+    base_number = int(time.time() // seg_dur) + 1
+    jitters = [0.0, 0.13, 0.05]  # decode-arrival jitter per segment
+    for k, jit in enumerate(jitters):
+        time.sleep(jit if k == 0 else seg_dur - jitters[k - 1] + jit)
+        push.send({"segment_number": base_number + k, "frames": frames, "sideinfo": {}})
+
+    arrivals = []
+    for _ in range(6):
+        view_pull.recv(timeout=10)
+        arrivals.append(time.time())
+    client.stop()
+    push.close()
+    view_pull.close()
+
+    # deadlines: (number*dur + offset) + (i+1)*dur/2 -> uniform dur/2 spacing
+    # across ALL segments despite jittered arrivals
+    intervals = np.diff(arrivals)
+    expect = seg_dur / 2
+    assert np.all(np.abs(intervals - expect) < 0.12), f"intervals {intervals}"
