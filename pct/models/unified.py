@@ -51,6 +51,7 @@ from pct.ops import (
     sparse_conv_down,
     topk_per_batch_mask,
 )
+from pct.ops.conv import set_compute_dtype as _set_dtype
 from pct.sparse.block import SparseBlock, truncate_capacity
 
 @functools.lru_cache(maxsize=None)
@@ -72,6 +73,11 @@ class UnifiedConfig:
     scale_nn_hidden: int = 64
     eps: float = 1e-6  # gain floor (reference `entropy_model.eps`)
     num_levels: int = 3  # stride-2 stages between voxels and latents
+    # Feature-path gather/GEMM dtype ("float32" | "bfloat16"): bfloat16
+    # halves conv tap-gather bytes and doubles MXU rate (f32 accumulation).
+    # Carried in the checkpoint so encoder and decoder hosts always agree
+    # (the hyperprior-derived coding indexes must match bit-wise).
+    compute_dtype: str = "float32"
     # "v1": conv+down per analysis level, 27-tap conv at every synthesis level.
     # "v2": TPU-first redesign — the stride-1 grid (the largest level) never
     # sees a searched 27-tap kernel map on either side: analysis starts with
@@ -115,6 +121,9 @@ class ColorModel:
         self.entropy_bottleneck = EntropyBottleneck(self.config.hyper_channels)
         self.gaussian_conditional = GaussianConditional()
         self.eps = self.config.eps
+        from pct.ops.conv import set_compute_dtype
+
+        set_compute_dtype(self.config.compute_dtype)
 
     # Hash/eq by static config: model objects ride through jit as static
     # arguments, and id-based hashing would retrace per instance (every
@@ -255,6 +264,7 @@ class ColorModel:
         from pct.ops.conv import build_kmap
         from pct.sparse.block import truncate_capacity
 
+        _set_dtype(self.config.compute_dtype)
         p = params["g_a"]
         x = block
         counts = []  # counts at stride 1, 2, 4 (before each downsample)
@@ -287,6 +297,7 @@ class ColorModel:
         return y, ks
 
     def h_a(self, params: Params, y: SparseBlock) -> SparseBlock:
+        _set_dtype(self.config.compute_dtype)
         p = params["h_a"]
         h = sparse_conv(y, p["conv0"]["w"], p["conv0"]["b"])
         h = h.with_feats(jax.nn.relu(h.feats))
@@ -399,6 +410,7 @@ class ColorModel:
         from pct.sparse import coords as coords_lib
         from pct.sparse.block import PAD_COORD
 
+        _set_dtype(self.config.compute_dtype)
         p = params["g_s"]
         x = y_hat
         aux = []

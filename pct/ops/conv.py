@@ -34,6 +34,18 @@ from pct.ops.kernel_maps import build_kernel_map, kernel_offsets
 K_CHUNK = 9  # taps materialized per gather (27 = 3 chunks); bounds the
 # [N*K_CHUNK, C_in] gather intermediate that HBM has to hold per conv
 
+# Gather/GEMM compute dtype for the feature path. bfloat16 halves the bytes
+# of the tap gathers (the dominant conv cost after kernel-map search) and
+# doubles MXU rate; accumulation stays float32. Set via set_compute_dtype()
+# — the parity-critical hyperprior path (h_s -> scales/means -> indexes)
+# always computes in float32 regardless (pct/pipeline/serial.py contract).
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype)
+
 
 def _gather_gemm(
     feats: jax.Array,
@@ -53,17 +65,20 @@ def _gather_gemm(
     traced graph size bounded."""
     k, cin, cout = weight.shape
     n = idx.shape[0]
+    cdt = _COMPUTE_DTYPE
     table = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    table = table.astype(cdt)  # cast once; the 27x tap gather reads half the bytes
     safe_idx = jnp.where(found, idx, feats.shape[0])  # missing -> zero row
-    acc = jnp.zeros((n, cout), feats.dtype)
+    acc = jnp.zeros((n, cout), jnp.float32)
     for k0 in range(0, k, K_CHUNK):
         kc = min(K_CHUNK, k - k0)
         g = table[safe_idx[:, k0 : k0 + kc].reshape(-1)]  # [N*kc, Cin]
         g = g.reshape(n, kc * cin)
-        w = weight[k0 : k0 + kc].reshape(kc * cin, cout)
-        acc = acc + jnp.dot(g, w, preferred_element_type=feats.dtype)
+        w = weight[k0 : k0 + kc].reshape(kc * cin, cout).astype(cdt)
+        acc = acc + jnp.dot(g, w, preferred_element_type=jnp.float32)
     if bias is not None:
         acc = acc + bias
+    acc = acc.astype(feats.dtype)
     return jnp.where(out_mask[:, None], acc, 0)
 
 

@@ -137,7 +137,9 @@ class StreamingServer:
         self.mpd.save_mpd(os.path.join(self.media_dir, "manifest.mpd"))
         stamp(sideinfo, "server_published")
         self.cleanup_segments(number)
-        append_csv_row(self.log_path, {"ID": msg.get("segment_id", number), **sideinfo})
+        # the published wall-clock number is the join key of the sender and
+        # receiver CSVs (reference merges on it, evaluation/plot.py:46-79)
+        append_csv_row(self.log_path, {"ID": number, **sideinfo})
 
     def cleanup_segments(self, current: int) -> None:
         cutoff = current - self.cleanup_window

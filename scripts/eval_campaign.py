@@ -1,0 +1,172 @@
+"""Evaluation campaign: playback streaming runs at an fps sweep, CSV logs,
+figures, and a per-step summary table vs the reference baseline.
+
+The reference's acceptance harness (SURVEY.md §4): run the system in
+playback mode at fps 1..10, collect sender/receiver CSVs keyed by segment
+ID, merge, and plot (reference ``evaluation/plot.py``). This drives the same
+campaign with pct's own services in one process per run, then produces the
+four figure families and a summary row per fps.
+
+Usage:
+  python scripts/eval_campaign.py [--fps 1,3,5,8,10] [--segments 12]
+      [--ckpt checkpoints/demo.msgpack] [--out evaluation/r2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BASE_PORT = 18600
+
+
+def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) -> dict:
+    import jax
+
+    from pct.config import Config
+    from pct.models import ColorModel, UnifiedConfig, checkpoint
+    from pct.pipeline import CompressionPipeline, DecompressionPipeline
+    from pct.streaming.launch import SystemLauncher
+    from pct.streaming.transport import PullSocket
+
+    log_dir = os.path.join(out_dir, f"logs_{fps}fps")
+    media_dir = os.path.join(out_dir, f"media_{fps}fps")
+    for d in (log_dir, media_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    cfg = Config.load()
+    cfg.update(
+        {
+            "mode": "playback",
+            "recording_path": "/root/reference/evaluation/data/test",
+            "target_fps": fps,
+            "segment_duration": 1.0,
+            "publish_offset": 3.0,
+            "playout_offset": 4.0,
+            "request_offset": 0.3,
+            "encoding_settings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+            "encoder_address": f"tcp://127.0.0.1:{base_port + 2}",
+            "media_server_address": f"tcp://127.0.0.1:{base_port + 3}",
+            "decoder_address": f"tcp://127.0.0.1:{base_port + 4}",
+            "client_address": f"tcp://127.0.0.1:{base_port + 5}",
+            "visualizer_address": f"tcp://127.0.0.1:{base_port + 6}",
+            "media_server_port": base_port + 10,
+            "mpd_url": f"http://127.0.0.1:{base_port + 10}/manifest.mpd",
+            "media_dir": media_dir,
+            "log_dir": log_dir,
+            "init_quality": 3,
+            "fixed_quality_mode": True,
+        }
+    )
+
+    if os.path.exists(ckpt):
+        model, params, tables = checkpoint.load_with_tables(ckpt)
+    else:
+        model = ColorModel(
+            UnifiedConfig(channels=(8, 16, 16), latent_channels=16, hyper_channels=8)
+        )
+        params, tables = model.init_params(jax.random.key(0)), None
+    enc_pipe = CompressionPipeline(model, params, tables)
+    dec_pipe = DecompressionPipeline(model, params, tables)
+
+    # pre-warm so encode latency stays under publish_offset
+    from pct.streaming.capturer import load_recorded_frames
+
+    recs = load_recorded_frames(cfg["recording_path"])[: max(fps, 1)]
+    warm = [
+        {"points": f["points"].astype(np.int32), "colors": f["colors"].astype(np.float32)}
+        for f in recs
+    ]
+    levels, _ = enc_pipe.compress(warm, cfg["encoding_settings"])
+    dec_pipe.decompress(levels[-1].pack())
+
+    view_pull = PullSocket(cfg["visualizer_address"])
+    launcher = SystemLauncher(cfg, enc_pipeline=enc_pipe, dec_pipeline=dec_pipe)
+    # ~15 recorded fps -> frames per segment of capture time
+    launcher.start(max_frames=int(segments * 15 + 30))
+
+    rx_csv = os.path.join(log_dir, "receiver", "log.csv")
+    deadline = time.time() + segments * 1.0 + 60
+    rows = 0
+    while time.time() < deadline:
+        try:
+            view_pull.recv(timeout=5)
+        except TimeoutError:
+            pass
+        if os.path.exists(rx_csv):
+            with open(rx_csv) as f:
+                rows = max(0, sum(1 for _ in f) - 1)
+            if rows >= segments:
+                break
+    launcher.stop()
+    view_pull.close()
+    time.sleep(1.0)
+
+    tx_csv = os.path.join(log_dir, "sender", "log.csv")
+    summary = {"fps": fps, "segments_rx": rows}
+    if os.path.exists(tx_csv) and os.path.exists(rx_csv):
+        from pct.eval.plot import load_data, plot
+
+        figs = plot(tx_csv, rx_csv, os.path.join(out_dir, "figures"), name=f"{fps}fps")
+        df = load_data(tx_csv, rx_csv)
+        import pandas as pd
+
+        def col_mean(name):
+            # merged columns may carry _tx/_rx suffixes
+            cols = [c for c in df.columns if name in c]
+            if not cols:
+                return None
+            v = pd.to_numeric(df[cols[0]], errors="coerce")
+            return round(float(v.mean()), 4)
+
+        summary.update(
+            {
+                "segments_tx": len(df),
+                "loss_rate": round(1.0 - float(df["packet_received"].mean()), 3),
+                "encode_s": col_mean("time_measurements_analysis"),
+                "decode_synth_s": col_mean("time_measurements_synthesis_transform"),
+                "num_points": col_mean("num_points"),
+                "bpp": col_mean("gop_info_bpp"),
+                "figures": len(figs),
+            }
+        )
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fps", default="1,3,5,8,10")
+    ap.add_argument("--segments", type=int, default=12)
+    ap.add_argument("--ckpt", default="checkpoints/demo.msgpack")
+    ap.add_argument("--out", default="evaluation/r2")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+    os.makedirs(args.out, exist_ok=True)
+    summaries = []
+    for i, fps in enumerate(int(x) for x in args.fps.split(",")):
+        s = run_one(fps, args.segments, args.ckpt, args.out, BASE_PORT + 20 * i)
+        summaries.append(s)
+        print(json.dumps(s), flush=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summaries, f, indent=2)
+    print("wrote", os.path.join(args.out, "summary.json"), flush=True)
+
+
+if __name__ == "__main__":
+    main()
