@@ -27,11 +27,17 @@ device-fused steps report under E1/analysis (E2/E4 are fused and reported
 as 0 — see ``time_measurements`` docstrings).
 
 Determinism note: decode correctness requires encoder and decoder to agree on
-the Gaussian (scale, mean) parameters bit-wise. Both sides round them onto a
-1/256 grid inside the jitted hyper-synthesis stage to suppress cross-backend
-float drift; exact parity is guaranteed when both sides run the same backend
-(as in the reference, which pins deterministic CUDA for the same reason —
-``codec_pipeline.py:16-18``).
+the Gaussian (scale, mean) parameters bit-wise. Two mechanisms: (1) the
+decoder reconstructs the encoder's static y/z capacities from the bitstream
+(``SerialDecoder.encoder_caps``) and runs hyper-synthesis under those exact
+shapes, so on the same backend both sides execute the same XLA program on
+the same values — bit-identical by construction (same-host parity is what
+the reference also relies on, pinning deterministic CUDA,
+``codec_pipeline.py:16-18``); (2) both sides round (scale, mean) onto a
+1/256 grid before index derivation, which absorbs the ulp-level drift of
+*cross*-backend deployments (TPU encode -> CPU decode) — measured by
+``scripts/cross_backend_check.py``, which counts index/symbol flips
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -402,13 +408,21 @@ class SerialDecoder:
     # device phase 1: coords -> hyper params -> coding indexes
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _phase1(self, params, coords, mask, z_syms, q):
+    @functools.partial(jax.jit, static_argnames=("self", "cap_z"))
+    def _phase1(self, params, coords, mask, z_syms, q, cap_z=None):
+        """``coords``/``z_syms`` must be padded to the ENCODER's static y/z
+        capacities (see :meth:`encoder_caps`): running hyper-synthesis under
+        the exact shapes the encoder used makes the derived (scale, mean,
+        index) values bit-identical on the same backend — a different padding
+        could tile the matmuls differently and flip a rounded value on a grid
+        boundary, desynchronizing the rANS stream (ADVICE round-1)."""
         m = self.model
         cdim = m.config.latent_channels
         cap = coords.shape[0]
         y = canonicalize(coords, jnp.zeros((cap, cdim), jnp.float32), mask).with_stride(8)
         z = m.derive_z_coords(y)
+        if cap_z is not None:
+            z = _static_truncate(z, cap_z)
         med = m.entropy_bottleneck.medians(params["entropy_bottleneck"])
         zf = jnp.zeros((z.capacity, med.shape[0]), jnp.float32)
         zf = zf.at[: z_syms.shape[0]].set(z_syms.astype(jnp.float32))
@@ -444,6 +458,28 @@ class SerialDecoder:
             ]
         )
 
+    @staticmethod
+    def encoder_caps(level: SegmentBitstream) -> tuple[int, int]:
+        """Reconstruct the ENCODER's static (y, z) capacities from the
+        bitstream alone: ``sum(ks[stride-1])`` is the input point count, so
+        the input bucket, the fractional level caps, and the overflow
+        predicate (``SerialEncoder.device_encode``) can all be mirrored
+        exactly — decoder hyper-synthesis then runs the same static shapes
+        the encoder used."""
+        ks = np.asarray(level.ks, np.int32)  # [B, L] coarse->fine
+        num_points = int(ks[:, -1].sum())
+        cap = bucket_size(num_points)
+        level_caps, cap_z = _caps_for(cap)
+        overflow = (
+            int(ks[:, 1].sum()) >= level_caps[0]
+            or int(ks[:, 0].sum()) >= level_caps[1]
+            or level.y_shape >= level_caps[2]
+            or level.z_shape >= cap_z
+        )
+        if overflow:
+            return cap, cap
+        return level_caps[-1], cap_z
+
     def decompress(self, level: SegmentBitstream | bytes):
         t_codec_start = time.time()
         t0 = time.time()
@@ -464,7 +500,7 @@ class SerialDecoder:
         coords = np.concatenate(coords, axis=0)
         assert coords.shape[0] == level.y_shape, "geometry/bitstream mismatch"
         ny = level.y_shape
-        ny_cap = bucket_size(ny)
+        ny_cap, nz_cap = self.encoder_caps(level)
         pad = ny_cap - ny
         mask = np.concatenate([np.ones(ny, bool), np.zeros(pad, bool)])
         coords = np.concatenate([coords, np.zeros((pad, 4), np.int32)], axis=0)
@@ -476,7 +512,6 @@ class SerialDecoder:
         z_syms = self.model.entropy_bottleneck.decompress_symbols(
             self.eb_tables, level.z_string, nz
         ).T.astype(np.int16)  # [nz, Cz]
-        nz_cap = bucket_size(nz)
         z_syms = np.concatenate(
             [z_syms, np.zeros((nz_cap - nz, z_syms.shape[1]), np.int16)], axis=0
         )
@@ -486,7 +521,12 @@ class SerialDecoder:
         t0 = time.time()
         q = jnp.asarray([level.q_g, level.q_a], jnp.float32)
         y_block, scales, means, idx_dev = self._phase1(
-            self.params, jnp.asarray(coords), jnp.asarray(mask), jnp.asarray(z_syms), q
+            self.params,
+            jnp.asarray(coords),
+            jnp.asarray(mask),
+            jnp.asarray(z_syms),
+            q,
+            cap_z=nz_cap,
         )
         idx = np.asarray(idx_dev)
         t_hyper = time.time() - t0
