@@ -437,8 +437,50 @@ class SerialDecoder:
         idx = m.gaussian_conditional.build_indexes(scales * gain[None, :]).astype(jnp.uint8)
         return y, scales, means, idx
 
+    # ------------------------------------------------------------------
+    # multi-rate batched decode: all quality representations in one pass
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "cap_z", "nq"))
+    def _phase1_multi(self, params, coords, mask, z_syms, qs, cap_z, nq):
+        """Like :meth:`_phase1` but derives coding indexes for ``nq``
+        quality vectors in one graph — hyper synthesis (the expensive part)
+        runs once, only the gain/index math repeats per q."""
+        m = self.model
+        cdim = m.config.latent_channels
+        cap = coords.shape[0]
+        y = canonicalize(coords, jnp.zeros((cap, cdim), jnp.float32), mask).with_stride(8)
+        z = m.derive_z_coords(y)
+        z = _static_truncate(z, cap_z)
+        med = m.entropy_bottleneck.medians(params["entropy_bottleneck"])
+        zf = jnp.zeros((z.capacity, med.shape[0]), jnp.float32)
+        zf = zf.at[: z_syms.shape[0]].set(z_syms.astype(jnp.float32))
+        zf = jnp.where(z.mask[:, None], zf + med[None, :], 0.0)
+        z = SparseBlock(coords=z.coords, feats=zf, mask=z.mask, stride=z.stride)
+        scales, means = m.h_s(params, z, y.coords, y.mask)
+        scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
+        means = jnp.round(means * PARAM_GRID) / PARAM_GRID
+        scales = m.gaussian_conditional.lower_bound_scale(scales)
+        idxs = []
+        for i in range(nq):
+            gain = m.scale_nn(params, qs[i])
+            idxs.append(
+                m.gaussian_conditional.build_indexes(scales * gain[None, :]).astype(jnp.uint8)
+            )
+        return y, scales, means, jnp.stack(idxs)
+
     @functools.partial(jax.jit, static_argnames=("self", "level_capacities"))
-    def _phase2(self, params, y_block, scales, means, y_syms, q, ks, level_capacities):
+    def _phase2_multi(self, params, y_block, scales, means, y_syms_q, qs, ks, level_capacities):
+        """vmap of the dequant+synthesis over the quality axis — one device
+        dispatch decodes every representation (multi-rate decode batching,
+        the decoder analog of the encoder's per-q fused loop)."""
+
+        def one(y_syms, q):
+            return self._phase2_body(params, y_block, scales, means, y_syms, q, ks, level_capacities)
+
+        return jax.vmap(one)(y_syms_q, qs)
+
+    def _phase2_body(self, params, y_block, scales, means, y_syms, q, ks, level_capacities):
         m = self.model
         gain = m.scale_nn(params, q)
         sym = y_syms.astype(jnp.float32)
@@ -449,13 +491,108 @@ class SerialDecoder:
         rgb = m.g_s(params, y_block.with_feats(y_hat), ks, level_capacities)
         coords16 = rgb.coords.astype(jnp.int16)
         colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
-        # one uint8 buffer -> one device->host round trip
         return jnp.concatenate(
             [
                 jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
                 colors8.reshape(-1),
                 rgb.mask.astype(jnp.uint8),
             ]
+        )
+
+    def decompress_levels(self, levels: Sequence[SegmentBitstream | bytes]):
+        """Decode EVERY quality representation of one segment in one batched
+        device pass. All levels must share geometry (same GOP: same
+        gpcc_strings/ks/y_shape/z_shape — true for the encoder's per-q
+        levels). Returns ``(frames_per_level, sideinfo)``."""
+        t_codec_start = time.time()
+        levels = [
+            SegmentBitstream.unpack(bytes(lv)) if isinstance(lv, (bytes, bytearray)) else lv
+            for lv in levels
+        ]
+        lv0 = levels[0]
+        assert all(
+            lv.y_shape == lv0.y_shape and lv.z_shape == lv0.z_shape and lv.ks == lv0.ks
+            for lv in levels
+        ), "decompress_levels requires a shared-geometry GOP"
+        num_frames = lv0.num_frames
+        coords = []
+        for b, g in enumerate(lv0.gpcc_strings):
+            pts = decode_points(g) * 8
+            coords.append(
+                np.concatenate([np.full((pts.shape[0], 1), b, np.int32), pts], axis=1)
+            )
+        coords = np.concatenate(coords, axis=0)
+        ny = lv0.y_shape
+        ny_cap, nz_cap = self.encoder_caps(lv0)
+        mask = np.concatenate([np.ones(ny, bool), np.zeros(ny_cap - ny, bool)])
+        coords = np.concatenate([coords, np.zeros((ny_cap - ny, 4), np.int32)], axis=0)
+        nz = lv0.z_shape
+        z_syms = self.model.entropy_bottleneck.decompress_symbols(
+            self.eb_tables, lv0.z_string, nz
+        ).T.astype(np.int16)
+        z_syms = np.concatenate(
+            [z_syms, np.zeros((nz_cap - nz, z_syms.shape[1]), np.int16)], axis=0
+        )
+
+        qs = jnp.asarray([[lv.q_g, lv.q_a] for lv in levels], jnp.float32)
+        y_block, scales, means, idxs = self._phase1_multi(
+            self.params,
+            jnp.asarray(coords),
+            jnp.asarray(mask),
+            jnp.asarray(z_syms),
+            qs,
+            nz_cap,
+            len(levels),
+        )
+        idxs_np = np.asarray(idxs)
+        y_syms_q = np.zeros((len(levels), ny_cap, idxs_np.shape[-1]), np.int16)
+        for qi, lv in enumerate(levels):
+            y_syms_q[qi, :ny] = self.model.gaussian_conditional.decompress(
+                self.gc_tables, lv.y_string, idxs_np[qi, :ny].astype(np.int32)
+            ).astype(np.int16)
+
+        ks = np.asarray(lv0.ks, np.int32).T
+        caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
+        bufs = np.asarray(
+            jax.device_get(
+                self._phase2_multi(
+                    self.params,
+                    y_block,
+                    scales,
+                    means,
+                    jnp.asarray(y_syms_q),
+                    qs,
+                    jnp.asarray(ks),
+                    caps,
+                )
+            )
+        )
+        cap_out = caps[-1]
+        out = []
+        for qi in range(len(levels)):
+            buf = bufs[qi]
+            coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
+            colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
+            out_mask = buf[cap_out * 11 :].astype(bool)
+            out.append(
+                _split_frames(
+                    coords16.astype(np.int32),
+                    colors8.astype(np.float32) / 255.0,
+                    out_mask,
+                    num_frames,
+                )
+            )
+        sideinfo = {
+            "timestamps": {"codec_start": t_codec_start, "codec_end": time.time()},
+            "num_levels": len(levels),
+        }
+        return out, sideinfo
+
+    @functools.partial(jax.jit, static_argnames=("self", "level_capacities"))
+    def _phase2(self, params, y_block, scales, means, y_syms, q, ks, level_capacities):
+        # one uint8 buffer -> one device->host round trip
+        return self._phase2_body(
+            params, y_block, scales, means, y_syms, q, ks, level_capacities
         )
 
     @staticmethod

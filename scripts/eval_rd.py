@@ -75,11 +75,15 @@ def main():
 
     settings = [[float(x) for x in s.split(",")] for s in args.settings.split(";")]
     levels, info = enc.compress(frames, settings)
+    # multi-rate batched decode: every representation in one device pass
+    t0 = time.time()
+    all_out, _ = dec.decompress_levels(levels)
+    t_batched = time.time() - t0
+    print(f"batched decode of {len(levels)} levels: {t_batched:.3f}s", flush=True)
     rows = []
-    for lv in levels:
+    for lv, out in zip(levels, all_out):
         t0 = time.time()
-        out, _ = dec.decompress(lv)
-        dt = time.time() - t0
+        dt = t_batched / len(levels)
         d1s, d2s, cps = [], [], []
         for fr, orig in zip(out, frames):
             d1s.append(d1_psnr(orig["points"], fr["points"], peak=peak))

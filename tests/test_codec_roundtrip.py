@@ -188,3 +188,20 @@ def test_overflow_fallback_matches_uncapped(codec, rng):
     levels, _ = enc.compress(frames, settings)
     out, _ = dec.decompress(levels[0])
     assert out[0]["points"].shape[0] == pts.shape[0]
+
+
+def test_multirate_batched_decode_matches_serial(codec, rng):
+    """decompress_levels (one batched device pass over all quality
+    representations) reproduces per-level decompress exactly."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=2, n=400)
+    settings = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    levels, _ = enc.compress(frames, settings)
+    batched, _ = dec.decompress_levels(levels)
+    assert len(batched) == len(levels)
+    for lv, out_q in zip(levels, batched):
+        serial_out, _ = dec.decompress(lv)
+        assert len(serial_out) == len(out_q)
+        for a, b in zip(serial_out, out_q):
+            np.testing.assert_array_equal(a["points"], b["points"])
+            np.testing.assert_array_equal(a["colors"], b["colors"])
