@@ -355,17 +355,21 @@ class ColorModel:
         h = jax.nn.relu(q @ p["w0"] + p["b0"])
         return jax.nn.softplus(h @ p["w1"] + p["b1"]) + self.eps
 
-    def get_offsets(self, y_q_stdev: jax.Array) -> jax.Array:
+    def get_offsets(self, y_q_stdev: jax.Array, magnitudes: jax.Array | None = None) -> jax.Array:
         """Dead-zone dequantization offset per latent (reference
         ``entropy_model.get_offsets`` — ``codec_parallel.py:405-409``).
 
         Closed-form conditional-mean correction for a centered Gaussian with
-        stdev ``s`` (in quantization-grid units) at the first nonzero bin:
-        ``E[X | 0.5 < X < 1.5] - 1``; applied symmetrically via the sign and
-        zeroed at the zero bin by the caller. Negative (pulls reconstructions
-        toward zero), saturating to 0 for large s.
+        stdev ``s`` (in quantization-grid units): for a symbol of magnitude
+        ``a``, the MMSE reconstruction of |residual| is
+        ``E[t | t in (a-0.5, a+0.5), t ~ N(0, s^2)]``; the offset is that
+        mean minus ``a``. Negative (pulls toward zero), vanishing for large
+        ``s`` or large ``a``. ``magnitudes`` defaults to the first bin
+        (a = 1) — pass the |symbol| array for per-bin correction (a bin-1
+        offset applied to all bins over-shrinks large coefficients).
         """
         s = jnp.maximum(y_q_stdev, 1e-4)
+        a_mag = jnp.ones_like(s) if magnitudes is None else jnp.maximum(magnitudes, 1.0)
         sqrt2 = np.sqrt(2.0)
 
         def phi(x):
@@ -374,10 +378,10 @@ class ColorModel:
         def Phi(x):
             return 0.5 * (1 + jax.lax.erf(x / sqrt2))
 
-        a, b = 0.5 / s, 1.5 / s
+        a, b = (a_mag - 0.5) / s, (a_mag + 0.5) / s
         denom = jnp.maximum(Phi(b) - Phi(a), 1e-12)
         mean = s * (phi(a) - phi(b)) / denom
-        return mean - 1.0
+        return mean - a_mag
 
     def g_s(
         self,

@@ -484,7 +484,7 @@ class SerialDecoder:
         m = self.model
         gain = m.scale_nn(params, q)
         sym = y_syms.astype(jnp.float32)
-        offs = m.get_offsets(scales * gain[None, :])
+        offs = m.get_offsets(scales * gain[None, :], jnp.abs(sym))
         mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
         y_hat = jnp.sign(sym) * mag / gain[None, :] + means
         y_hat = jnp.where(y_block.mask[:, None], y_hat, 0.0)

@@ -31,6 +31,32 @@ from pct.sparse import coords as coords_lib
 from pct.sparse.block import SparseBlock, features_at_coordinates
 
 
+def _cell_mean_colors(block: SparseBlock):
+    """Per stride-2-cell color sums/counts of the input block, as a canonical
+    cell-coordinate table ``(cell_coords [N,4], color_sums [N,3],
+    counts [N])`` — the fallback color target for reconstructed voxels that
+    miss the exact input voxel set."""
+    n = block.capacity
+    pad = jnp.array((0xFFFF, coords_lib.COORD_BIAS - 1, coords_lib.COORD_BIAS - 1, coords_lib.COORD_BIAS - 1), jnp.int32)
+    step = jnp.int32(2 * block.stride)
+    cxyz = jnp.floor_divide(block.coords[:, 1:], step) * step
+    cells = jnp.concatenate([block.coords[:, :1], cxyz], axis=1)
+    cells = jnp.where(block.mask[:, None], cells, pad[None, :])
+    perm = coords_lib.lex_argsort(cells, block.mask)
+    sc, sm = cells[perm], block.mask[perm]
+    scol = block.feats[perm][:, 1:4]
+    first = coords_lib.mark_first_occurrences(sc, sm)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(sm, seg, n - 1)
+    sums = jax.ops.segment_sum(jnp.where(sm[:, None], scol, 0.0), seg, num_segments=n)
+    cnts = jax.ops.segment_sum(sm.astype(jnp.float32), seg, num_segments=n)
+    slot = jnp.where(first, seg, n - 1)
+    out_c = jnp.broadcast_to(pad[None, :], (n, 4)).at[slot].set(
+        jnp.where(first[:, None], sc, pad[None, :])
+    )
+    return out_c, sums, cnts
+
+
 def _coord_set_at_stride(block: SparseBlock, factor: int):
     """True occupied coordinate set of the input at ``stride*factor`` grid."""
     if factor == 1:
@@ -104,11 +130,14 @@ def frame_rd_loss(
         jnp.log2(jnp.maximum(y_lik, 1e-9)) * y.mask[:, None], dtype=jnp.float32
     )
 
-    # synthesis from the (de-gained) noisy latents with ground-truth k pruning;
-    # every pruned level holds <= the input count, so cap capacities at the
-    # block capacity (otherwise candidate grids grow 8x per level in the
-    # backward and blow HBM)
-    y_hat = y.with_feats(y_noisy / gain)
+    # synthesis input: REAL rounded quantization with a straight-through
+    # gradient (noise only estimates the rate) — the decoder reconstructs
+    # from round(y*gain - means*gain), and training distortion on the noise
+    # surrogate leaves a systematic train/eval reconstruction gap
+    sym = jnp.round(y_scaled - means * gain)
+    y_deq = (sym + means * gain) / gain
+    y_hat_f = y.feats + jax.lax.stop_gradient(y_deq - y.feats)
+    y_hat = y.with_feats(y_hat_f)
     rgb, aux = model.g_s(params, y_hat, ks, level_capacities=caps_s, return_logits=True)
 
     # occupancy BCE per level against the true coordinate pyramid (the g_s
@@ -124,11 +153,22 @@ def frame_rd_loss(
             jnp.sum(cand_mask.astype(jnp.float32)), 1.0
         )
 
-    # color MSE on reconstructed voxels that exist in the input
+    # color MSE on ALL reconstructed voxels: exact input color on hits, the
+    # parent stride-2 cell's mean input color otherwise. Supervising only
+    # exact hits leaves the miss fraction's colors unconstrained — they come
+    # out as noise and dominate measured color PSNR (round-2 finding:
+    # ~16 dB measured vs 22 dB hit-only-MSE-implied).
     true_cols = features_at_coordinates(block, rgb.coords, rgb.mask)[:, 1:4]
     _, hit = coords_lib.find_coords(block.coords, rgb.coords, block.mask, rgb.mask)
-    w = (hit & rgb.mask).astype(jnp.float32)[:, None]
-    color_mse = jnp.sum(w * (rgb.feats - true_cols) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+    cell_c, cell_sum, cell_cnt = _cell_mean_colors(block)
+    step = jnp.int32(2)
+    pxyz = jnp.floor_divide(rgb.coords[:, 1:], step) * step
+    parents = jnp.concatenate([rgb.coords[:, :1], pxyz], axis=1)
+    pidx, pfound = coords_lib.find_coords(cell_c, parents, None, rgb.mask)
+    cell_cols = cell_sum[pidx] / jnp.maximum(cell_cnt[pidx][:, None], 1.0)
+    target = jnp.where(hit[:, None], true_cols, cell_cols)
+    w = (rgb.mask & (hit | pfound)).astype(jnp.float32)[:, None]
+    color_mse = jnp.sum(w * (rgb.feats - target) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
 
     bpp = (z_bits + y_bits) / num_points
     if g_ratio != 1.0:
