@@ -105,6 +105,32 @@ def main():
     log("enc steps:", {k: round(v, 4) for k, v in einfo["time_measurements"].items()})
     log("dec steps:", {k: round(v, 4) for k, v in dinfo["time_measurements"].items()})
 
+    # device-graph execution vs host<->device transfer split (the bench rig's
+    # chip sits behind a network relay; PCIe rigs see the graph time only)
+    try:
+        import jax.numpy as jnp
+
+        from pct.pipeline.serial import _caps_for, _frames_to_arrays
+
+        coords, feats, mask = _frames_to_arrays(frames)
+        level_caps, cap_z = _caps_for(coords.shape[0])
+        qs = jnp.asarray(np.asarray(settings, np.float32))
+        dev_args = (jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask))
+        jax.block_until_ready(dev_args)
+        t0 = time.time()
+        for _ in range(reps):
+            out_dev = enc._stage1(
+                enc.params, *dev_args, qs, len(frames), level_caps, cap_z
+            )
+            jax.block_until_ready(out_dev)
+        t_graph = (time.time() - t0) / reps
+        log(
+            f"encode split: device graph {t_graph:.3f}s, "
+            f"host+transfer {max(einfo['time_measurements']['analysis'] - t_graph, 0):.3f}s"
+        )
+    except Exception as e:  # noqa: BLE001 - diagnostic only
+        log("device/transfer split failed:", repr(e))
+
     # secondary: pipelined throughput over 3 concurrent segments (the
     # system's real operating mode — both the reference and pct run 3-worker
     # segment pools); logged to stderr, not the headline metric

@@ -202,11 +202,15 @@ class ColorModel:
                 "w": _conv_init(next(keys), 8, cin, c),
                 "b": jnp.zeros((c,), jnp.float32),
             }
-            # occupancy head scores all 8 child slots from the PARENT features
-            # (dense [C_in, 8]); pruning happens before child features exist,
-            # so synthesis compute scales with k, not with the 8x candidate set
+            # occupancy head scores all 8 child slots from the PARENT GRID
+            # with a 27-tap conv: pruning still happens before child features
+            # exist (compute scales with k, not the 8x candidate set), but
+            # each cell's children are scored from the parent neighborhood —
+            # a lone-parent dense head topped out at ~26% exact-voxel hits
+            # (round-2 measurement); neighborhood context is what the
+            # reference's classify-after-expand conv provides.
             p["g_s"][f"occ{i}"] = {
-                "w": _dense_init(next(keys), cin, 8),
+                "w": _conv_init(next(keys), 27, cin, 8),
                 "b": jnp.zeros((8,), jnp.float32),
             }
             if cfg.arch == "v2" and i == last:
@@ -420,11 +424,17 @@ class ColorModel:
         aux = []
         last = self.config.num_levels - 1
         v2 = self.config.arch == "v2"
+        kmap = None  # parent-grid kernel map; levels > 0 reuse the previous
+        # level's conv map (same coordinate set), level 0 builds the y-grid one
         for i in range(self.config.num_levels):
             n = x.capacity
             child_stride = x.stride // 2
-            # score all 8 children of every parent
-            logits = x.feats @ p[f"occ{i}"]["w"] + p[f"occ{i}"]["b"]  # [N, 8]
+            # score all 8 children of every parent from the parent NEIGHBORHOOD
+            if kmap is None:
+                kmap = build_kmap(x, 3)
+            logits = sparse_conv(
+                x, p[f"occ{i}"]["w"], p[f"occ{i}"]["b"], kmap=kmap
+            ).feats  # [N, 8]
             offs = jnp.asarray(kernel_offsets_cached(2), jnp.int32) * jnp.int32(child_stride)
             child_xyz = x.coords[:, None, 1:] + offs[None, :, :]
             child_b = jnp.broadcast_to(x.coords[:, None, :1], (n, 8, 1))

@@ -184,5 +184,9 @@ def frame_rd_loss(
         "color_mse": color_mse,
         "y_bits": y_bits,
         "z_bits": z_bits,
+        # fraction of reconstructed voxels that exactly match input voxels —
+        # the occupancy-ranking quality D1's nearest-neighbor metric hides
+        "hit_rate": jnp.sum((hit & rgb.mask).astype(jnp.float32))
+        / jnp.maximum(jnp.sum(rgb.mask.astype(jnp.float32)), 1.0),
     }
     return loss, metrics

@@ -37,6 +37,26 @@ VAL_DIR = "/root/reference/evaluation/data/test"  # held out: bench/eval data
 DEMO_SETTINGS = np.asarray([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], np.float32)
 
 
+def upgrade_occ_heads(model, params):
+    """Warm-start migration: dense per-parent occupancy heads [C,8] from
+    pre-round-2 checkpoints become 27-tap conv heads [27,C,8] with the old
+    weights in the center tap (kernel_offsets(3) index 13) and zeros
+    elsewhere — identical function at load, trainable context thereafter."""
+    import jax.numpy as jnp
+
+    g_s = params.get("g_s", {})
+    changed = False
+    for k, v in list(g_s.items()):
+        if k.startswith("occ") and v["w"].ndim == 2:
+            c, eight = v["w"].shape
+            w = jnp.zeros((27, c, eight), jnp.float32).at[13].set(v["w"])
+            g_s[k] = {"w": w, "b": v["b"]}
+            changed = True
+    if changed:
+        print("upgraded dense occupancy heads to 27-tap conv heads", flush=True)
+    return params
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
@@ -92,6 +112,7 @@ def main():
 
     if args.resume:
         model, params = checkpoint.load(args.resume)
+        params = upgrade_occ_heads(model, params)
         print(f"resumed from {args.resume}", flush=True)
     else:
         cfg = UnifiedConfig(
@@ -114,9 +135,12 @@ def main():
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
     if args.resume and os.path.exists(args.resume + ".train"):
-        with open(args.resume + ".train", "rb") as f:
-            opt_state = serialization.from_bytes(opt_state, f.read())
-        print("restored optimizer state", flush=True)
+        try:
+            with open(args.resume + ".train", "rb") as f:
+                opt_state = serialization.from_bytes(opt_state, f.read())
+            print("restored optimizer state", flush=True)
+        except Exception as e:  # shape migration (e.g. occ-head upgrade)
+            print(f"optimizer state not restored ({type(e).__name__}); fresh opt", flush=True)
     # donate params/opt_state buffers: halves peak optimizer-state HBM
     step = jax.jit(make_train_step(model, tcfg, opt), donate_argnums=(0, 1))
 
@@ -143,7 +167,8 @@ def main():
             m = val_metrics(params, *[jnp.asarray(a) for a in val_arrays], jnp.asarray(q), key)
             out.append(
                 f"q={q.tolist()}: bpp {float(m['bpp']):.3f} "
-                f"mse {float(m['color_mse']):.5f} occ {float(m['occ_bce']):.4f}"
+                f"mse {float(m['color_mse']):.5f} occ {float(m['occ_bce']):.4f} "
+                f"hit {float(m['hit_rate']):.3f}"
             )
         print("  VAL " + " | ".join(out), flush=True)
 
@@ -178,7 +203,7 @@ def main():
             print(
                 f"step {i:6d} loss {float(loss):9.4f} bpp {float(metrics['bpp']):6.3f} "
                 f"occ {float(metrics['occ_bce']):6.4f} mse {float(metrics['color_mse']):8.6f} "
-                f"({time.time()-t0:.0f}s)",
+                f"hit {float(metrics['hit_rate']):.3f} ({time.time()-t0:.0f}s)",
                 flush=True,
             )
             if not np.isfinite(float(loss)):

@@ -13,6 +13,14 @@ from pct.pipeline import SerialDecoder, SerialEncoder, frames_to_block
 
 
 SMALL = UnifiedConfig(channels=(8, 12, 16), latent_channels=16, hyper_channels=8, scale_nn_hidden=8)
+SMALL_V2 = UnifiedConfig(
+    channels=(8, 12, 16),
+    latent_channels=16,
+    hyper_channels=8,
+    scale_nn_hidden=8,
+    arch="v2",
+    family_channels=8,
+)
 
 
 def make_frames(rng, num_frames=2, n=300, extent=32):
@@ -24,9 +32,9 @@ def make_frames(rng, num_frames=2, n=300, extent=32):
     return frames
 
 
-@pytest.fixture(scope="module")
-def codec():
-    model = ColorModel(SMALL)
+@pytest.fixture(scope="module", params=["v1", "v2"])
+def codec(request):
+    model = ColorModel(SMALL if request.param == "v1" else SMALL_V2)
     params = model.init_params(jax.random.key(0))
     return SerialEncoder(model, params), SerialDecoder(model, params)
 
