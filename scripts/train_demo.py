@@ -54,7 +54,7 @@ def upgrade_occ_heads(model, params):
             changed = True
     if changed:
         print("upgraded dense occupancy heads to 27-tap conv heads", flush=True)
-    return params
+    return params, changed
 
 
 def main():
@@ -110,9 +110,10 @@ def main():
     val_ds = FrameDataset(build_cache([args.val_dir], args.capacity))
     print(f"train {len(ds)} frames (cache {cache}), val {len(val_ds)} frames", flush=True)
 
+    migrated = False
     if args.resume:
         model, params = checkpoint.load(args.resume)
-        params = upgrade_occ_heads(model, params)
+        params, migrated = upgrade_occ_heads(model, params)
         print(f"resumed from {args.resume}", flush=True)
     else:
         cfg = UnifiedConfig(
@@ -134,12 +135,15 @@ def main():
     )
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
-    if args.resume and os.path.exists(args.resume + ".train"):
+    if args.resume and not migrated and os.path.exists(args.resume + ".train"):
+        # NOTE: never restore across a shape migration — flax from_bytes
+        # accepts broadcast-compatible old moments, which silently mis-scale
+        # Adam updates on the new parameters (observed divergence)
         try:
             with open(args.resume + ".train", "rb") as f:
                 opt_state = serialization.from_bytes(opt_state, f.read())
             print("restored optimizer state", flush=True)
-        except Exception as e:  # shape migration (e.g. occ-head upgrade)
+        except Exception as e:
             print(f"optimizer state not restored ({type(e).__name__}); fresh opt", flush=True)
     # donate params/opt_state buffers: halves peak optimizer-state HBM
     step = jax.jit(make_train_step(model, tcfg, opt), donate_argnums=(0, 1))
