@@ -130,14 +130,12 @@ def frame_rd_loss(
         jnp.log2(jnp.maximum(y_lik, 1e-9)) * y.mask[:, None], dtype=jnp.float32
     )
 
-    # synthesis input: REAL rounded quantization with a straight-through
-    # gradient (noise only estimates the rate) — the decoder reconstructs
-    # from round(y*gain - means*gain), and training distortion on the noise
-    # surrogate leaves a systematic train/eval reconstruction gap
-    sym = jnp.round(y_scaled - means * gain)
-    y_deq = (sym + means * gain) / gain
-    y_hat_f = y.feats + jax.lax.stop_gradient(y_deq - y.feats)
-    y_hat = y.with_feats(y_hat_f)
+    # synthesis input: noise-quantized latents (de-gained). A straight-through
+    # rounded path was tried and reverted — wrapping the dequantization in
+    # stop_gradient cuts the distortion gradient to gain/means entirely and
+    # the run diverges (bpp 2 -> 9 in 750 steps); the noise surrogate keeps
+    # the full RD coupling and trains stably.
+    y_hat = y.with_feats(y_noisy / gain)
     rgb, aux = model.g_s(params, y_hat, ks, level_capacities=caps_s, return_logits=True)
 
     # occupancy BCE per level against the true coordinate pyramid (the g_s
