@@ -4,6 +4,7 @@ from pct.eval.metrics import (
     d1_psnr,
     d2_psnr,
     color_psnr,
+    hit_stats,
     psnr,
     bpp,
     bd_rate,
@@ -15,6 +16,7 @@ __all__ = [
     "d1_psnr",
     "d2_psnr",
     "color_psnr",
+    "hit_stats",
     "psnr",
     "bpp",
     "bd_rate",

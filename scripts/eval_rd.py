@@ -44,7 +44,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
-    from pct.eval import bpp, color_psnr, d1_psnr, d2_psnr
+    from pct.eval import bpp, color_psnr, d1_psnr, d2_psnr, hit_stats
     from pct.models import ColorModel, UnifiedConfig, checkpoint
     from pct.pipeline import SerialDecoder, SerialEncoder
 
@@ -84,13 +84,16 @@ def main():
     for lv, out in zip(levels, all_out):
         t0 = time.time()
         dt = t_batched / len(levels)
-        d1s, d2s, cps = [], [], []
+        d1s, d2s, cps, hrs, hcs = [], [], [], [], []
         for fr, orig in zip(out, frames):
             d1s.append(d1_psnr(orig["points"], fr["points"], peak=peak))
             d2s.append(d2_psnr(orig["points"], fr["points"], peak=peak))
             cps.append(
                 color_psnr(orig["points"], orig["colors"], fr["points"], fr["colors"])
             )
+            hr, hc = hit_stats(orig["points"], orig["colors"], fr["points"], fr["colors"])
+            hrs.append(hr)
+            hcs.append(hc)
         row = {
             "q_g": lv.q_g,
             "q_a": lv.q_a,
@@ -98,6 +101,8 @@ def main():
             "d1_psnr": round(float(np.mean(d1s)), 3),
             "d2_psnr": round(float(np.mean(d2s)), 3),
             "color_psnr": round(float(np.mean(cps)), 3),
+            "hit_rate": round(float(np.mean(hrs)), 3),
+            "hit_color_psnr": round(float(np.mean(hcs)), 3),
             "decode_s": round(dt, 3),
         }
         rows.append(row)
