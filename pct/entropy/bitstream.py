@@ -34,6 +34,13 @@ class SegmentBitstream:
     # per frame:
     gpcc_strings: list[bytes]
     ks: list[tuple[int, int, int]]  # (k1, k2, k3) occupancy counts per frame
+    # "latent": gpcc strings code the stride-8 latent coords / 8 (the
+    # reference's scheme); "lossless": they code the full-resolution voxel
+    # set — the decoder derives the whole coordinate pyramid exactly and
+    # synthesis needs no occupancy prediction. Signaled on the wire by the
+    # sign of the num_frames field (negative = lossless) so latent-mode
+    # bytes are unchanged (golden-pinned).
+    geometry_mode: str = "latent"
 
     @property
     def num_frames(self) -> int:
@@ -44,7 +51,8 @@ class SegmentBitstream:
 
     def pack(self) -> bytes:
         out = bytearray()
-        out += struct.pack("<i", self.num_frames)
+        nf = self.num_frames if self.geometry_mode == "latent" else -self.num_frames
+        out += struct.pack("<i", nf)
         out += struct.pack("<dd", self.q_g, self.q_a)
         out += struct.pack(
             "<iiii", self.y_shape, self.z_shape, len(self.y_string), len(self.z_string)
@@ -68,6 +76,8 @@ class SegmentBitstream:
             return vals
 
         (num_frames,) = take("<i")
+        mode = "latent" if num_frames >= 0 else "lossless"
+        num_frames = abs(num_frames)
         q_g, q_a = take("<dd")
         y_shape, z_shape, ylen, zlen = take("<iiii")
         y_string = bytes(data[off : off + ylen]); off += ylen
@@ -77,7 +87,9 @@ class SegmentBitstream:
             glen, k1, k2, k3 = take("<iiii")
             gpcc_strings.append(bytes(data[off : off + glen])); off += glen
             ks.append((k1, k2, k3))
-        return cls(q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks)
+        return cls(
+            q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks, mode
+        )
 
 
 def pack_segment(levels: Sequence[SegmentBitstream]) -> bytes:

@@ -78,6 +78,12 @@ class UnifiedConfig:
     # Carried in the checkpoint so encoder and decoder hosts always agree
     # (the hyperprior-derived coding indexes must match bit-wise).
     compute_dtype: str = "float32"
+    # Apply the MMSE dead-zone dequantization offsets at decode. The offsets
+    # assume reconstruction statistics the noise-trained synthesis never saw
+    # — measured on the round-2 checkpoint they cost hit-rate 0.37 -> 0.25
+    # and joint color PSNR 16.7 -> 10.8 dB — so the pipelines only apply
+    # them when the checkpoint says its training accounted for them.
+    use_offsets: bool = False
     # "v1": conv+down per analysis level, 27-tap conv at every synthesis level.
     # "v2": TPU-first redesign — the stride-1 grid (the largest level) never
     # sees a searched 27-tap kernel map on either side: analysis starts with
@@ -352,6 +358,40 @@ class ColorModel:
         scales_raw, means = jnp.split(gp, 2, axis=-1)
         scales = jax.nn.softplus(scales_raw) + 1e-4
         return scales, means
+
+    def g_s_at(
+        self,
+        params: Params,
+        y_hat: SparseBlock,
+        level_blocks: Sequence[tuple[jax.Array, jax.Array]],
+    ) -> SparseBlock:
+        """Synthesis evaluated at KNOWN per-level coordinate sets (coarse ->
+        fine ``(coords, mask)`` pairs, canonical): the lossless-geometry
+        representation transmits the full-resolution voxel set (octree
+        coded), so the decoder needs no occupancy prediction — each level's
+        features come from the parent premultiply gather
+        (:func:`pct.ops.conv.up_features_at`) at the exact child set,
+        followed by the same convs/heads as :meth:`g_s`. The occupancy heads
+        are unused on this path."""
+        from pct.ops.conv import build_kmap, up_features_at
+
+        if self.config.arch != "v1":
+            raise NotImplementedError(
+                "lossless-geometry synthesis is implemented for arch='v1'"
+            )
+        p = params["g_s"]
+        _set_dtype(self.config.compute_dtype)
+        x = y_hat
+        for i in range(self.config.num_levels):
+            coords_l, mask_l = level_blocks[i]
+            feats = up_features_at(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], coords_l, mask_l)
+            x = SparseBlock(
+                coords=coords_l, feats=feats, mask=mask_l, stride=x.stride // 2
+            )
+            kmap = build_kmap(x, 3)
+            x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
+            x = x.with_feats(jax.nn.relu(x.feats))
+        return sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
 
     def scale_nn(self, params: Params, q: jax.Array) -> jax.Array:
         """Quality vector [2] -> positive per-channel gain [latent] (+eps)."""

@@ -309,7 +309,10 @@ class SerialEncoder:
     # host stage: entropy + geometry coding (E3, E5, E6, E7)
     # ------------------------------------------------------------------
 
-    def host_encode(self, dev: dict, settings) -> tuple[list[SegmentBitstream], dict]:
+    def host_encode(
+        self, dev: dict, settings, frames: Sequence[dict] | None = None,
+        geometry_mode: str = "latent",
+    ) -> tuple[list[SegmentBitstream], dict]:
         times: dict[str, float] = {}
         t0 = time.time()
         z_string = self.model.entropy_bottleneck.compress_symbols(
@@ -319,10 +322,19 @@ class SerialEncoder:
 
         t0 = time.time()
         gpcc_strings = []
-        yc = dev["y_coords"]
-        for b in range(dev["num_frames"]):
-            pts = yc[yc[:, 0] == b][:, 1:] // 8
-            gpcc_strings.append(encode_points(pts))
+        if geometry_mode == "lossless":
+            # full-resolution voxel set per frame (octree coded); the decoder
+            # derives the entire coordinate pyramid from it and synthesis
+            # runs at the exact sets (no occupancy prediction)
+            assert frames is not None, "lossless geometry needs the input frames"
+            for fr in frames:
+                pts = np.unique(np.asarray(fr["points"], np.int32), axis=0)
+                gpcc_strings.append(encode_points(pts))
+        else:
+            yc = dev["y_coords"]
+            for b in range(dev["num_frames"]):
+                pts = yc[yc[:, 0] == b][:, 1:] // 8
+                gpcc_strings.append(encode_points(pts))
         times["geometry_compression"] = time.time() - t0
 
         gc = self.model.gaussian_conditional
@@ -351,13 +363,23 @@ class SerialEncoder:
                         tuple(int(ks[l, b]) for l in range(ks.shape[0]))
                         for b in range(dev["num_frames"])
                     ],
+                    geometry_mode=geometry_mode,
                 )
             )
             times["bitstream_writing"] += time.time() - t0
         return levels, times
 
-    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]]):
+    def compress(
+        self,
+        frames: Sequence[dict],
+        settings: Sequence[Sequence[float]],
+        geometry_mode: str = "latent",
+    ):
         """Returns ``(levels: list[SegmentBitstream], sideinfo: dict)``.
+
+        ``geometry_mode="lossless"`` transmits the full-resolution voxel set
+        (octree coded) instead of the stride-8 latent skeleton: decoded
+        geometry is exact and synthesis evaluates at the true sets.
 
         ``time_measurements``: E2/E4 (hyper analysis/synthesis) run fused
         inside the E1 device graph and are reported as 0.0."""
@@ -365,7 +387,7 @@ class SerialEncoder:
         t0 = time.time()
         dev = self.device_encode(frames, settings)
         t_device = time.time() - t0
-        levels, times = self.host_encode(dev, settings)
+        levels, times = self.host_encode(dev, settings, frames, geometry_mode)
         times.update({"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0})
 
         total_bytes = sum(lv.num_bytes() for lv in levels)
@@ -380,8 +402,8 @@ class SerialEncoder:
         }
         return levels, sideinfo
 
-    def compress_bytes(self, frames, settings):
-        levels, sideinfo = self.compress(frames, settings)
+    def compress_bytes(self, frames, settings, geometry_mode: str = "latent"):
+        levels, sideinfo = self.compress(frames, settings, geometry_mode)
         return pack_segment(levels), sideinfo
 
 
@@ -484,8 +506,11 @@ class SerialDecoder:
         m = self.model
         gain = m.scale_nn(params, q)
         sym = y_syms.astype(jnp.float32)
-        offs = m.get_offsets(scales * gain[None, :], jnp.abs(sym))
-        mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+        if m.config.use_offsets:
+            offs = m.get_offsets(scales * gain[None, :], jnp.abs(sym))
+            mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+        else:  # noise-trained synthesis: plain mid-bin reconstruction
+            mag = jnp.abs(sym)
         y_hat = jnp.sign(sym) * mag / gain[None, :] + means
         y_hat = jnp.where(y_block.mask[:, None], y_hat, 0.0)
         rgb = m.g_s(params, y_block.with_feats(y_hat), ks, level_capacities)
@@ -514,6 +539,9 @@ class SerialDecoder:
             lv.y_shape == lv0.y_shape and lv.z_shape == lv0.z_shape and lv.ks == lv0.ks
             for lv in levels
         ), "decompress_levels requires a shared-geometry GOP"
+        if lv0.geometry_mode == "lossless":
+            outs = [self.decompress(lv)[0] for lv in levels]
+            return outs, {"num_levels": len(levels)}
         num_frames = lv0.num_frames
         coords = []
         for b, g in enumerate(lv0.gpcc_strings):
@@ -617,6 +645,142 @@ class SerialDecoder:
             return cap, cap
         return level_caps[-1], cap_z
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _phase2_lossless(
+        self, params, y_block, scales, means, y_syms, q, c4, m4, c2, m2, c1, m1
+    ):
+        """Dequant + synthesis at the exact (transmitted) coordinate pyramid;
+        returns only the uint8 colors — geometry is already on the host."""
+        m = self.model
+        gain = m.scale_nn(params, q)
+        sym = y_syms.astype(jnp.float32)
+        if m.config.use_offsets:
+            offs = m.get_offsets(scales * gain[None, :], jnp.abs(sym))
+            mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+        else:  # noise-trained synthesis: plain mid-bin reconstruction
+            mag = jnp.abs(sym)
+        y_hat = jnp.sign(sym) * mag / gain[None, :] + means
+        y_hat = jnp.where(y_block.mask[:, None], y_hat, 0.0)
+        rgb = m.g_s_at(
+            params,
+            y_block.with_feats(y_hat),
+            [(c4, m4), (c2, m2), (c1, m1)],
+        )
+        return jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
+
+    def _decompress_lossless(self, level: SegmentBitstream, t_codec_start, t_read):
+        """Lossless-geometry decode: the gpcc strings carry the full
+        stride-1 voxel sets; the whole coordinate pyramid (and the y/z
+        anchors) derives from them exactly, so reconstruction geometry is
+        bit-exact and only colors are synthesized."""
+        num_frames = level.num_frames
+        t0 = time.time()
+        sets1 = []
+        for b, g in enumerate(level.gpcc_strings):
+            pts = decode_points(g)
+            sets1.append(
+                np.concatenate([np.full((pts.shape[0], 1), b, np.int32), pts], axis=1)
+            )
+        s1 = np.concatenate(sets1, axis=0)
+        order = np.lexsort((s1[:, 3], s1[:, 2], s1[:, 1], s1[:, 0]))
+        s1 = s1[order]
+
+        def down(c, f):
+            d = c.copy()
+            d[:, 1:] = (d[:, 1:] // f) * f
+            return np.unique(d, axis=0)  # unique is lexsorted = canonical
+
+        s2, s4, s8 = down(s1, 2), down(s1, 4), down(s1, 8)
+        t_geometry = time.time() - t0
+
+        ks = np.asarray(level.ks, np.int32)  # [B, 3] coarse->fine
+        assert s1.shape[0] == int(ks[:, 2].sum()) and s8.shape[0] == level.y_shape, (
+            "geometry/bitstream mismatch"
+        )
+
+        # z decode + phase 1 at the encoder's static shapes
+        t0 = time.time()
+        ny = level.y_shape
+        ny_cap, nz_cap = self.encoder_caps(level)
+        mask = np.zeros(ny_cap, bool)
+        mask[:ny] = True
+        y_coords = np.concatenate([s8, np.zeros((ny_cap - ny, 4), np.int32)], axis=0)
+        nz = level.z_shape
+        z_syms = self.model.entropy_bottleneck.decompress_symbols(
+            self.eb_tables, level.z_string, nz
+        ).T.astype(np.int16)
+        z_syms = np.concatenate(
+            [z_syms, np.zeros((nz_cap - nz, z_syms.shape[1]), np.int16)], axis=0
+        )
+        t_factorized = time.time() - t0
+        t0 = time.time()
+        q = jnp.asarray([level.q_g, level.q_a], jnp.float32)
+        y_block, scales, means, idx_dev = self._phase1(
+            self.params,
+            jnp.asarray(y_coords),
+            jnp.asarray(mask),
+            jnp.asarray(z_syms),
+            q,
+            cap_z=nz_cap,
+        )
+        idx = np.asarray(idx_dev)
+        t_hyper = time.time() - t0
+
+        t0 = time.time()
+        symbols = self.model.gaussian_conditional.decompress(
+            self.gc_tables, level.y_string, idx[:ny].astype(np.int32)
+        ).astype(np.int16)
+        y_syms = np.concatenate(
+            [symbols, np.zeros((ny_cap - ny, symbols.shape[1]), np.int16)], axis=0
+        )
+        t_gaussian = time.time() - t0
+
+        # synthesis at the exact pyramid
+        t0 = time.time()
+
+        def padded(c):
+            cap = bucket_size(c.shape[0])
+            m = np.zeros(cap, bool)
+            m[: c.shape[0]] = True
+            cpad = np.full((cap, 4), -1, np.int32)
+            from pct.sparse.block import PAD_COORD
+
+            cpad[:] = np.asarray(PAD_COORD, np.int32)[None, :]
+            cpad[: c.shape[0]] = c
+            return jnp.asarray(cpad), jnp.asarray(m)
+
+        c4, m4 = padded(s4)
+        c2, m2 = padded(s2)
+        c1, m1 = padded(s1)
+        colors8 = np.asarray(
+            jax.device_get(
+                self._phase2_lossless(
+                    self.params, y_block, scales, means, jnp.asarray(y_syms), q,
+                    c4, m4, c2, m2, c1, m1,
+                )
+            )
+        )
+        n1 = s1.shape[0]
+        frames = _split_frames(
+            s1,
+            colors8[:n1].astype(np.float32) / 255.0,
+            np.ones(n1, bool),
+            num_frames,
+        )
+        t_synth = time.time() - t0
+        sideinfo = {
+            "time_measurements": {
+                "bitstream_reading": t_read,
+                "geometry_decompression": t_geometry,
+                "factorized_model": t_factorized,
+                "hyper_synthesis": t_hyper,
+                "guassian_model": t_gaussian,  # (sic) reference CSV schema
+                "synthesis_transform": t_synth,
+            },
+            "timestamps": {"codec_start": t_codec_start, "codec_end": time.time()},
+        }
+        return frames, sideinfo
+
     def decompress(self, level: SegmentBitstream | bytes):
         t_codec_start = time.time()
         t0 = time.time()
@@ -624,6 +788,8 @@ class SerialDecoder:
             # one representation blob, as stored per ID{q} segment file
             level = SegmentBitstream.unpack(bytes(level))
         t_read = time.time() - t0
+        if level.geometry_mode == "lossless":
+            return self._decompress_lossless(level, t_codec_start, t_read)
         num_frames = level.num_frames
 
         # D2 geometry decode -> batched y coords (canonical sort on device)

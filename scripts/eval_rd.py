@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--dump-ply", default="", help="write decoded PLYs here (reference tests/test_pipeline.py behavior)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--lossless", action="store_true",
+                    help="also evaluate the lossless-geometry representation")
     ap.add_argument(
         "--settings",
         default="1,0;0,1;1,1;0.25,0.25;0.5,0.5",
@@ -80,6 +82,13 @@ def main():
     all_out, _ = dec.decompress_levels(levels)
     t_batched = time.time() - t0
     print(f"batched decode of {len(levels)} levels: {t_batched:.3f}s", flush=True)
+    if args.lossless:
+        # lossless-geometry representation: exact voxel set + learned colors
+        ll_levels, _ = enc.compress(frames, [settings[-1]], geometry_mode="lossless")
+        for lv in ll_levels:
+            out, _ = dec.decompress(lv)
+            levels = list(levels) + [lv]
+            all_out = list(all_out) + [out]
     rows = []
     for lv, out in zip(levels, all_out):
         t0 = time.time()

@@ -213,3 +213,24 @@ def test_multirate_batched_decode_matches_serial(codec, rng):
         for a, b in zip(serial_out, out_q):
             np.testing.assert_array_equal(a["points"], b["points"])
             np.testing.assert_array_equal(a["colors"], b["colors"])
+
+
+def test_lossless_geometry_mode(codec, rng):
+    """geometry_mode="lossless": the full-resolution voxel set rides the
+    octree coder, decoded geometry is bit-exact (every voxel, not just the
+    count), and synthesis paints colors onto the true sets."""
+    enc, dec = codec
+    if enc.model.config.arch != "v1":
+        pytest.skip("lossless-geometry synthesis is v1-only")
+    frames = make_frames(rng, num_frames=2, n=400)
+    levels, info = enc.compress(frames, [[1.0, 1.0]], geometry_mode="lossless")
+    assert levels[0].geometry_mode == "lossless"
+    # wire roundtrip preserves the mode flag
+    reparsed = type(levels[0]).unpack(levels[0].pack())
+    assert reparsed.geometry_mode == "lossless"
+    out, _ = dec.decompress(levels[0].pack())
+    for fr, orig in zip(out, frames):
+        got = {tuple(r) for r in fr["points"]}
+        want = {tuple(r) for r in orig["points"]}
+        assert got == want, "lossless mode must reproduce the exact voxel set"
+        assert fr["colors"].shape == (orig["points"].shape[0], 3)
