@@ -78,6 +78,22 @@ def load(path: str) -> Tuple[ColorModel, Params]:
     return model, params
 
 
+def _migrate(params):
+    """Load-time migrations for older checkpoints: dense per-parent
+    occupancy heads [C, 8] become 27-tap conv heads [27, C, 8] with the old
+    weights in the center tap (identical function; see
+    ``ColorModel.init_params``)."""
+    g_s = params.get("g_s", {})
+    for k, v in list(g_s.items()):
+        if k.startswith("occ") and hasattr(v.get("w"), "ndim") and v["w"].ndim == 2:
+            c, eight = v["w"].shape
+            g_s[k] = {
+                "w": jnp.zeros((27, c, eight), jnp.float32).at[13].set(v["w"]),
+                "b": v["b"],
+            }
+    return params
+
+
 def load_with_tables(path: str):
     """Returns ``(model, params, tables | None)`` where tables is a dict of
     :class:`pct.entropy.CdfTables` for keys ``eb`` and ``gc``."""
@@ -86,7 +102,7 @@ def load_with_tables(path: str):
     with open(path, "rb") as f:
         obj = msgpack.unpackb(f.read(), raw=False)
     model = ColorModel(UnifiedConfig.from_dict(obj["config"]))
-    params = _unflatten(obj["params"])
+    params = _migrate(_unflatten(obj["params"]))
     tables = None
     if "tables" in obj:
         t = _unflatten(obj["tables"], to_jax=False)
