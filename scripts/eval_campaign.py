@@ -158,12 +158,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "summary.json")
     summaries = []
+    if os.path.exists(path):  # merge with prior sweeps into one summary
+        with open(path) as f:
+            summaries = json.load(f)
     for i, fps in enumerate(int(x) for x in args.fps.split(",")):
         s = run_one(fps, args.segments, args.ckpt, args.out, BASE_PORT + 20 * i)
-        summaries.append(s)
+        summaries = [r for r in summaries if r.get("fps") != fps] + [s]
         print(json.dumps(s), flush=True)
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    summaries.sort(key=lambda r: r.get("fps", 0))
+    with open(path, "w") as f:
         json.dump(summaries, f, indent=2)
     print("wrote", os.path.join(args.out, "summary.json"), flush=True)
 
