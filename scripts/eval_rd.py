@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--data", default="/root/reference/evaluation/data/test")
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--stride", type=int, default=1,
+                    help="sample every Nth recorded frame (spread across the sequence)")
     ap.add_argument("--out", default="")
     ap.add_argument("--dump-ply", default="", help="write decoded PLYs here (reference tests/test_pipeline.py behavior)")
     ap.add_argument("--cpu", action="store_true")
@@ -58,7 +60,7 @@ def main():
     else:
         from pct.streaming.capturer import load_recorded_frames
 
-        recs = load_recorded_frames(args.data)[: args.frames]
+        recs = load_recorded_frames(args.data)[:: args.stride][: args.frames]
         frames = [
             {"points": f["points"].astype(np.int32), "colors": f["colors"].astype(np.float32)}
             for f in recs
