@@ -311,8 +311,12 @@ class SerialEncoder:
 
     def host_encode(
         self, dev: dict, settings, frames: Sequence[dict] | None = None,
-        geometry_mode: str = "latent",
+        geometry_mode: str = "latent", lossless_extra: bool = False,
     ) -> tuple[list[SegmentBitstream], dict]:
+        """``lossless_extra`` appends one more representation that shares the
+        last setting's entropy-coded latents but carries the full-resolution
+        voxel set (octree coded) — the highest-quality DASH rung at the cost
+        of one extra octree encode, no extra neural work."""
         times: dict[str, float] = {}
         t0 = time.time()
         z_string = self.model.entropy_bottleneck.compress_symbols(
@@ -367,6 +371,28 @@ class SerialEncoder:
                 )
             )
             times["bitstream_writing"] += time.time() - t0
+        if lossless_extra and geometry_mode == "latent":
+            assert frames is not None, "lossless_extra needs the input frames"
+            t0 = time.time()
+            ll_strings = [
+                encode_points(np.unique(np.asarray(fr["points"], np.int32), axis=0))
+                for fr in frames
+            ]
+            times["geometry_compression"] += time.time() - t0
+            last = levels[-1]
+            levels.append(
+                SegmentBitstream(
+                    q_g=last.q_g,
+                    q_a=last.q_a,
+                    y_shape=last.y_shape,
+                    z_shape=last.z_shape,
+                    y_string=last.y_string,
+                    z_string=last.z_string,
+                    gpcc_strings=ll_strings,
+                    ks=last.ks,
+                    geometry_mode="lossless",
+                )
+            )
         return levels, times
 
     def compress(
@@ -374,6 +400,7 @@ class SerialEncoder:
         frames: Sequence[dict],
         settings: Sequence[Sequence[float]],
         geometry_mode: str = "latent",
+        lossless_extra: bool = False,
     ):
         """Returns ``(levels: list[SegmentBitstream], sideinfo: dict)``.
 
@@ -387,7 +414,7 @@ class SerialEncoder:
         t0 = time.time()
         dev = self.device_encode(frames, settings)
         t_device = time.time() - t0
-        levels, times = self.host_encode(dev, settings, frames, geometry_mode)
+        levels, times = self.host_encode(dev, settings, frames, geometry_mode, lossless_extra)
         times.update({"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0})
 
         total_bytes = sum(lv.num_bytes() for lv in levels)

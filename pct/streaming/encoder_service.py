@@ -37,6 +37,8 @@ class Encoder:
         self.segment_duration = float(self.config.get("segment_duration", 1.0))
         self.target_fps = int(self.config.get("target_fps", 5))
         self.settings = list(self.config.get("encoding_settings"))
+        # extra top DASH rung: exact voxel set (octree) + learned colors
+        self.lossless_rep = bool(self.config.get("lossless_rep", False))
         self.pull = PullSocket(self.config["encoder_address"])
         self.push = PushSocket(self.config["media_server_address"])
         self.executor = ThreadPoolExecutor(max_workers=workers)
@@ -74,7 +76,9 @@ class Encoder:
                 {"points": np.asarray(f["points"], np.int32), "colors": f["colors"]}
                 for f in sampled
             ]
-            levels, codec_info = self.pipeline.compress(fr, self.settings)
+            levels, codec_info = self.pipeline.compress(
+                fr, self.settings, lossless_extra=self.lossless_rep
+            )
             sideinfo.update(codec_info)
             sideinfo["timestamps"].update(codec_info.get("timestamps", {}))
             # raw passthrough level 0 (reference codec_pipeline.py:204-206):

@@ -90,6 +90,8 @@ class StreamingServer:
 
         self.pull = PullSocket(self.config["media_server_address"])
         num_levels = len(self.config.get("encoding_settings"))
+        if self.config.get("lossless_rep", False):
+            num_levels += 1  # the lossless-geometry top rung
         self.mpd = MPDManager(self.segment_duration)
         self.mpd.setup_adaptation_set()
         self.mpd.add_representation(0, "raw")

@@ -85,3 +85,28 @@ def test_pipelined_error_propagates(setup):
     pipe = DecompressionPipeline(model, params)
     with pytest.raises(RuntimeError, match="stage failed"):
         pipe.decompress(b"\x07garbage-bytes")
+
+def test_pipelined_lossless_extra_rep(rng):
+    """lossless_extra appends a shared-latents lossless-geometry rung; it
+    decodes to the exact voxel set through the standard decoder."""
+    import jax
+
+    from pct.models import ColorModel, UnifiedConfig
+    from pct.pipeline import CompressionPipeline, DecompressionPipeline
+
+    model = ColorModel(
+        UnifiedConfig(channels=(8, 12, 16), latent_channels=16, hyper_channels=8, scale_nn_hidden=8)
+    )
+    params = model.init_params(jax.random.key(0))
+    enc = CompressionPipeline(model, params)
+    dec = DecompressionPipeline(model, params)
+    frames = []
+    for _ in range(2):
+        pts = np.unique(rng.integers(0, 40, (400, 3)).astype(np.int32), axis=0)
+        frames.append({"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)})
+    levels, _ = enc.compress(frames, [[1.0, 1.0]], lossless_extra=True)
+    assert len(levels) == 2 and levels[-1].geometry_mode == "lossless"
+    assert levels[-1].y_string == levels[0].y_string  # shared latents
+    out, _ = dec.decompress(levels[-1].pack())
+    for fr, orig in zip(out, frames):
+        assert {tuple(r) for r in fr["points"]} == {tuple(r) for r in orig["points"]}
