@@ -27,6 +27,7 @@ DEFAULTS: dict[str, Any] = {
     "playout_offset": 3.0,
     # codec
     "encoding_settings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+    "lossless_rep": False,
     "decoder_type": "Pipelined",  # Single | Pipelined
     "checkpoint_path": "",  # empty -> deterministic random init
     "init_quality": 1,
