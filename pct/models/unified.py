@@ -342,6 +342,12 @@ class ColorModel:
         identical math, O(ny) instead of O(64 nz) compute/memory."""
         from pct.ops.conv import generative_up_conv_at
 
+        # Parity-critical: the (scale, mean) -> coding-index derivation must
+        # be bit-identical between encoder and decoder hosts, and the 1/256
+        # parity-rounding grid (pct/pipeline/serial.py PARAM_GRID) is finer
+        # than bfloat16's ~2^-8 relative resolution — pin the whole hyper
+        # synthesis to float32 regardless of the feature-path compute dtype.
+        _set_dtype(jnp.float32)
         p = params["h_s"]
         h = generative_conv_up(z, p["up0"]["w"], p["up0"]["b"])
         h = sparse_conv(h, p["conv0"]["w"], p["conv0"]["b"])

@@ -37,8 +37,10 @@ K_CHUNK = 9  # taps materialized per gather (27 = 3 chunks); bounds the
 # Gather/GEMM compute dtype for the feature path. bfloat16 halves the bytes
 # of the tap gathers (the dominant conv cost after kernel-map search) and
 # doubles MXU rate; accumulation stays float32. Set via set_compute_dtype()
-# — the parity-critical hyperprior path (h_s -> scales/means -> indexes)
-# always computes in float32 regardless (pct/pipeline/serial.py contract).
+# — the parity-critical hyperprior path enforces float32 by calling
+# set_compute_dtype(float32) at ColorModel.h_s entry (trace time), so the
+# (scale, mean) -> index derivation never runs in bf16 even when the
+# checkpoint's feature path is bfloat16.
 _COMPUTE_DTYPE = jnp.float32
 
 

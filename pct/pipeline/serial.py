@@ -90,6 +90,15 @@ def _frames_to_arrays(frames: Sequence[dict], capacity: int | None = None):
                 f"{coords_lib.COORD_BIAS}): min {int(pts.min())}, max {int(pts.max())}"
             )
         col = np.asarray(fr["colors"], np.float32)
+        # Dedup per frame BEFORE bucketing: the decoder reconstructs the
+        # encoder's static capacities from sum(ks[:, -1]) — the post-dedup
+        # voxel count (SerialDecoder.encoder_caps). Bucketing the raw row
+        # count would give the two sides different static shapes whenever
+        # duplicate input points straddle a bucket boundary (ADVICE round-2).
+        if pts.shape[0]:
+            _, first = np.unique(pts, axis=0, return_index=True)
+            first.sort()  # keep first occurrence, original order
+            pts, col = pts[first], col[first]
         n = pts.shape[0]
         coords.append(np.concatenate([np.full((n, 1), b, np.int32), pts], axis=1))
         feats.append(np.concatenate([np.ones((n, 1), np.float32), col], axis=1))
@@ -566,8 +575,21 @@ class SerialDecoder:
             lv.y_shape == lv0.y_shape and lv.z_shape == lv0.z_shape and lv.ks == lv0.ks
             for lv in levels
         ), "decompress_levels requires a shared-geometry GOP"
-        if lv0.geometry_mode == "lossless":
-            outs = [self.decompress(lv)[0] for lv in levels]
+        # Lossless-geometry rungs carry full-resolution voxel sets in their
+        # gpcc strings — they must NEVER be decoded against lv0's stride-8
+        # latent skeleton (they share ks/y_shape with their sibling latent
+        # rungs, so the assert above cannot catch them). Route each through
+        # the dedicated lossless decode and batch only the latent rungs.
+        ll_idx = [i for i, lv in enumerate(levels) if lv.geometry_mode == "lossless"]
+        if ll_idx:
+            outs: list = [None] * len(levels)
+            for i in ll_idx:
+                outs[i] = self.decompress(levels[i])[0]
+            lat_idx = [i for i in range(len(levels)) if i not in ll_idx]
+            if lat_idx:
+                lat_outs, _ = self.decompress_levels([levels[i] for i in lat_idx])
+                for j, i in enumerate(lat_idx):
+                    outs[i] = lat_outs[j]
             return outs, {"num_levels": len(levels)}
         num_frames = lv0.num_frames
         coords = []

@@ -215,6 +215,57 @@ def test_multirate_batched_decode_matches_serial(codec, rng):
             np.testing.assert_array_equal(a["colors"], b["colors"])
 
 
+def test_multirate_batched_decode_routes_lossless_rung(codec, rng):
+    """A lossless-geometry rung inside a decompress_levels batch (exactly
+    what compress(..., lossless_extra=True) produces) must decode the FULL
+    voxel set, not lv0's stride-8 latent skeleton (ADVICE round-2 medium:
+    it shares ks/y_shape with its latent siblings, so the shared-geometry
+    assert cannot catch the mix)."""
+    enc, dec = codec
+    if enc.model.config.arch != "v1":
+        pytest.skip("lossless-geometry synthesis is v1-only")
+    frames = make_frames(rng, num_frames=2, n=400)
+    settings = [[1.0, 0.0], [1.0, 1.0]]
+    levels, _ = enc.compress(frames, settings, lossless_extra=True)
+    assert levels[-1].geometry_mode == "lossless"
+    batched, _ = dec.decompress_levels(levels)
+    assert len(batched) == len(levels)
+    # the lossless rung reproduces the exact input voxel set
+    for fr, orig in zip(batched[-1], frames):
+        got = {tuple(r) for r in fr["points"]}
+        want = {tuple(r) for r in orig["points"]}
+        assert got == want, "lossless rung decoded against the wrong geometry"
+    # and every rung still matches its per-level decode exactly
+    for lv, out_q in zip(levels, batched):
+        serial_out, _ = dec.decompress(lv)
+        for a, b in zip(serial_out, out_q):
+            np.testing.assert_array_equal(a["points"], b["points"])
+            np.testing.assert_array_equal(a["colors"], b["colors"])
+
+
+def test_duplicate_points_bucket_parity(codec, rng):
+    """Frames with duplicate input points must not desynchronize the
+    encoder/decoder static shapes: the encoder buckets the post-dedup count
+    (what the decoder reconstructs from sum(ks)), even when the raw row
+    count straddles a bucket boundary (ADVICE round-2)."""
+    from pct.pipeline.serial import _frames_to_arrays
+    from pct.sparse.block import bucket_size
+
+    enc, dec = codec
+    pts = np.unique(rng.integers(0, 40, (700, 3)).astype(np.int32), axis=0)
+    cols = rng.random((pts.shape[0], 3)).astype(np.float32)
+    # duplicate every point: raw count 2n buckets differently than n
+    dup_pts = np.concatenate([pts, pts], axis=0)
+    dup_cols = np.concatenate([cols, cols], axis=0)
+    frames = [{"points": dup_pts, "colors": dup_cols}]
+    coords, _, mask = _frames_to_arrays(frames)
+    assert mask.sum() == pts.shape[0], "per-frame dedup must precede bucketing"
+    assert coords.shape[0] == bucket_size(pts.shape[0])
+    levels, _ = enc.compress(frames, [[1.0, 1.0]])
+    out, _ = dec.decompress(levels[0])
+    assert out[0]["points"].shape[0] == pts.shape[0]
+
+
 def test_lossless_geometry_mode(codec, rng):
     """geometry_mode="lossless": the full-resolution voxel set rides the
     octree coder, decoded geometry is bit-exact (every voxel, not just the
