@@ -32,6 +32,15 @@ def _std_cdf(x):
 
 
 class GaussianConditional:
+    # Fixed-point grids for the integerized coding-index path (see
+    # ``build_indexes_from_codes``): scales on a 1/256 grid (the codec's
+    # PARAM_GRID), gains on a 1/64 grid. The products stay below 2^31 under
+    # the clamps in ``quantize_scales``/``quantize_gain``, so the whole
+    # index derivation after the two grid roundings is int32 arithmetic —
+    # bit-exact on every backend by construction.
+    SCALE_FP = 256
+    GAIN_FP = 64
+
     def __init__(self, scale_table: np.ndarray | None = None, tail_mass: float = 1e-9):
         self.scale_table = np.asarray(
             scale_table if scale_table is not None else default_scale_table(), np.float64
@@ -39,6 +48,10 @@ class GaussianConditional:
         assert np.all(np.diff(self.scale_table) > 0), "scale table must be increasing"
         self.tail_mass = tail_mass
         self.scale_bound = float(self.scale_table[0])
+        # int32 decision boundaries in (scale * gain) fixed-point units
+        self._bound_codes = np.floor(
+            self.scale_table[:-1] * self.SCALE_FP * self.GAIN_FP
+        ).astype(np.int32)
 
     # ------------------------------------------------------------------
     # JAX (training / on-device) path
@@ -62,6 +75,40 @@ class GaussianConditional:
         s = self.lower_bound_scale(scales)
         table = jnp.asarray(self.scale_table[:-1], s.dtype)
         return jnp.sum(s[..., None] > table, axis=-1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # Integerized index derivation (cross-backend structural parity)
+    # ------------------------------------------------------------------
+    #
+    # The rANS stream desynchronizes if encoder and decoder derive even one
+    # different coding index. The float path (``build_indexes(scales*gain)``)
+    # has TWO ulp-sensitive stages: the float product and the float table
+    # compare. The integer path reduces the parity surface to exactly the
+    # two documented grid roundings (scale -> 1/256, gain -> 1/64): after
+    # them everything is int32 arithmetic, identical on any backend.
+
+    def quantize_scales(self, scales: jax.Array) -> jax.Array:
+        """Scales -> int32 fixed-point codes on the 1/SCALE_FP grid, clamped
+        to [scale_bound, scale_table[-1]] so products fit int32."""
+        lo = int(round(self.scale_bound * self.SCALE_FP))
+        hi = int(round(float(self.scale_table[-1]) * self.SCALE_FP))
+        c = jnp.round(scales * self.SCALE_FP).astype(jnp.int32)
+        return jnp.clip(c, lo, hi)
+
+    def quantize_gain(self, gain: jax.Array) -> jax.Array:
+        """Gain -> int32 fixed-point codes on the 1/GAIN_FP grid. The clamp
+        at 2^15-1 (gain 512) keeps scale*gain products below 2^31; a gain
+        that large saturates every index to the table top anyway."""
+        c = jnp.round(gain * self.GAIN_FP).astype(jnp.int32)
+        return jnp.clip(c, 1, 2**15 - 1)
+
+    def build_indexes_from_codes(self, s_codes: jax.Array, g_codes: jax.Array) -> jax.Array:
+        """Index derivation in pure int32: ``sum(s*g > bounds)`` with the
+        precomputed fixed-point boundary codes. ``s_codes`` broadcasts
+        against ``g_codes`` (e.g. [N, C] scales x [C] per-channel gains)."""
+        c = s_codes * g_codes  # int32, < 2^31 by the quantizer clamps
+        bounds = jnp.asarray(self._bound_codes, jnp.int32)
+        return jnp.sum(c[..., None] > bounds, axis=-1).astype(jnp.int32)
 
     # The dequantization offset (reference ``entropy_model.get_offsets``)
     # lives on the model: ``ColorModel.get_offsets`` (pct/models/unified.py)

@@ -93,6 +93,12 @@ class UnifiedConfig:
     # smaller. Same wire contract (k pyramid, bitstream) as v1.
     arch: str = "v1"
     family_channels: int = 32  # v2 synthesis family-mix width
+    # Occupancy-head depth: 1 = single 27-tap conv parent-grid scorer
+    # (round-2), 2 = conv -> relu -> conv (same kernel map reused, hidden
+    # width ``occ_hidden``) — the deeper head is what lifts strict-decode
+    # hit rate; a linear scorer tops out near 0.55 (round-2/3 measurement).
+    occ_layers: int = 1
+    occ_hidden: int = 32
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
@@ -215,10 +221,19 @@ class ColorModel:
             # a lone-parent dense head topped out at ~26% exact-voxel hits
             # (round-2 measurement); neighborhood context is what the
             # reference's classify-after-expand conv provides.
-            p["g_s"][f"occ{i}"] = {
-                "w": _conv_init(next(keys), 27, cin, 8),
-                "b": jnp.zeros((8,), jnp.float32),
-            }
+            if cfg.occ_layers == 2:
+                oh = cfg.occ_hidden
+                p["g_s"][f"occ{i}"] = {
+                    "w1": _conv_init(next(keys), 27, cin, oh),
+                    "b1": jnp.zeros((oh,), jnp.float32),
+                    "w2": _conv_init(next(keys), 27, oh, 8),
+                    "b2": jnp.zeros((8,), jnp.float32),
+                }
+            else:
+                p["g_s"][f"occ{i}"] = {
+                    "w": _conv_init(next(keys), 27, cin, 8),
+                    "b": jnp.zeros((8,), jnp.float32),
+                }
             if cfg.arch == "v2" and i == last:
                 fc = cfg.family_channels
                 p["g_s"]["fam"] = {
@@ -478,9 +493,13 @@ class ColorModel:
             # score all 8 children of every parent from the parent NEIGHBORHOOD
             if kmap is None:
                 kmap = build_kmap(x, 3)
-            logits = sparse_conv(
-                x, p[f"occ{i}"]["w"], p[f"occ{i}"]["b"], kmap=kmap
-            ).feats  # [N, 8]
+            po = p[f"occ{i}"]
+            if self.config.occ_layers == 2:
+                h = sparse_conv(x, po["w1"], po["b1"], kmap=kmap)
+                h = h.with_feats(jax.nn.relu(h.feats))
+                logits = sparse_conv(h, po["w2"], po["b2"], kmap=kmap).feats
+            else:
+                logits = sparse_conv(x, po["w"], po["b"], kmap=kmap).feats  # [N, 8]
             offs = jnp.asarray(kernel_offsets_cached(2), jnp.int32) * jnp.int32(child_stride)
             child_xyz = x.coords[:, None, 1:] + offs[None, :, :]
             child_b = jnp.broadcast_to(x.coords[:, None, :1], (n, 8, 1))

@@ -5,7 +5,7 @@ from pct.parallel.mesh import (
     replicated,
     param_spec,
 )
-from pct.parallel.infer import ShardedFrameEncoder
+from pct.parallel.infer import ShardedFrameDecoder, ShardedFrameEncoder
 
 __all__ = [
     "make_mesh",
@@ -14,4 +14,5 @@ __all__ = [
     "replicated",
     "param_spec",
     "ShardedFrameEncoder",
+    "ShardedFrameDecoder",
 ]

@@ -30,6 +30,18 @@ from pct.pipeline.serial import PARAM_GRID, _caps_for, _static_truncate
 from pct.sparse.block import SparseBlock, bucket_size, canonicalize
 
 
+def _dedup_frame(fr: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame point dedup (first occurrence wins), mirroring
+    ``pct.pipeline.serial._frames_to_arrays``."""
+    pts = np.asarray(fr["points"], np.int32)
+    col = np.asarray(fr["colors"], np.float32)
+    if pts.shape[0]:
+        _, first = np.unique(pts, axis=0, return_index=True)
+        first.sort()
+        pts, col = pts[first], col[first]
+    return pts, col
+
+
 class ShardedFrameEncoder:
     """dp-sharded per-frame encode: ``encode(frames, settings) -> dev dict``
     with the same fields as ``SerialEncoder.device_encode``."""
@@ -69,15 +81,17 @@ class ShardedFrameEncoder:
             z_sym = jnp.where(z.mask[:, None], z_sym, 0)
             z_hat = z.with_feats(z_sym + med[None, :])
             scales, means = m.h_s(params, z_hat, y.coords, y.mask)
-            scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
+            s_codes = m.gaussian_conditional.quantize_scales(scales)
             means = jnp.round(means * PARAM_GRID) / PARAM_GRID
-            scales = m.gaussian_conditional.lower_bound_scale(scales)
             syms, idxs = [], []
             for i in range(nq):
                 gain = m.scale_nn(params, qs[i])
+                g_codes = m.gaussian_conditional.quantize_gain(gain)
                 sym = jnp.round(y.feats * gain[None, :] - means * gain[None, :])
                 sym = jnp.where(y.mask[:, None], sym, 0)
-                idx = m.gaussian_conditional.build_indexes(scales * gain[None, :])
+                idx = m.gaussian_conditional.build_indexes_from_codes(
+                    s_codes, g_codes[None, :]
+                )
                 syms.append(sym.astype(jnp.int16))
                 idxs.append(idx.astype(jnp.uint8))
             meta = jnp.concatenate([ks[:, 0], jnp.stack([ny, nz, block.count()])])
@@ -96,19 +110,23 @@ class ShardedFrameEncoder:
     # ------------------------------------------------------------------
     def encode(self, frames: Sequence[dict], settings) -> dict:
         """Returns the ``SerialEncoder.device_encode`` dict (frame-major
-        assembly), computed with frames sharded over the dp axis."""
+        assembly), computed with frames sharded over the dp axis.
+
+        The static input capacity buckets the max PER-FRAME POST-DEDUP point
+        count — exactly what :class:`ShardedFrameDecoder` reconstructs from
+        the transmitted ks, so both sides run per-frame hyper synthesis
+        under identical static shapes (the sharded analog of
+        ``SerialDecoder.encoder_caps``)."""
         num_frames = len(frames)
-        caps = [int(np.asarray(f["points"]).shape[0]) for f in frames]
-        cap = bucket_size(max(caps))
+        deduped = [_dedup_frame(f) for f in frames]
+        cap = bucket_size(max(p.shape[0] for p, _ in deduped))
         level_caps, cap_z = _caps_for(cap)
         b_pad = -(-num_frames // self.dp) * self.dp  # round up to dp multiple
 
         coords = np.zeros((b_pad, cap, 4), np.int32)
         feats = np.zeros((b_pad, cap, 4), np.float32)
         mask = np.zeros((b_pad, cap), bool)
-        for b, fr in enumerate(frames):
-            pts = np.asarray(fr["points"], np.int32)
-            col = np.asarray(fr["colors"], np.float32)
+        for b, (pts, col) in enumerate(deduped):
             n = pts.shape[0]
             coords[b, :n, 1:] = pts
             feats[b, :n, 0] = 1.0
@@ -168,3 +186,216 @@ class ShardedFrameEncoder:
             "y_idxs": np.concatenate(yi_parts, axis=1),
             "z_syms": np.concatenate(zs_parts, axis=0),
         }
+
+
+class ShardedFrameDecoder:
+    """dp-sharded per-frame decode: ``decode(level) -> list[frame dict]``.
+
+    The decode counterpart of :class:`ShardedFrameEncoder` — the north-star
+    direction (BASELINE.md: >=30 fps vox10 *decode*): a GOP's frames are laid
+    out over the ``dp`` mesh axis and each chip runs hyper-synthesis, index
+    derivation, dequantization and the generative top-k synthesis for its
+    local frames (reference decode steps D4-D6, ``codec_parallel.py:353-472``).
+    Host rANS decodes stay fused over the GOP (the streams are frame-major).
+
+    Static-shape contract: the per-frame input capacity is reconstructed
+    from the transmitted ks exactly as the sharded encoder derived it
+    (bucket of the max per-frame post-dedup count), so the per-frame hyper
+    programs match the encoder's shape-for-shape; index parity then rests on
+    the integerized code path (pct/entropy/gaussian.py).
+    """
+
+    def __init__(self, model: ColorModel, params: Params, mesh: Mesh, tables: dict | None = None):
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        self.dp = mesh.shape["dp"]
+        self.eb_tables = (tables or {}).get("eb") or model.entropy_bottleneck.update(
+            params["entropy_bottleneck"]
+        )
+        self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.model.config, self.dp))
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other.model.config == self.model.config
+            and other.dp == self.dp
+        )
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "cap_z"))
+    def _indexes(self, params, y_coords, y_mask, z_syms, q, cap_z):
+        """[B, ny_cap, ...] per-frame coords/z symbols -> per-frame
+        (scales, means, idx); vmapped, dp-sharded over frames."""
+        m = self.model
+        from pct.pipeline.serial import PARAM_GRID
+
+        def one(coords, mask, z_syms_f):
+            cdim = m.config.latent_channels
+            y = canonicalize(coords, jnp.zeros((coords.shape[0], cdim), jnp.float32), mask).with_stride(8)
+            z = m.derive_z_coords(y)
+            z = _static_truncate(z, cap_z)
+            med = m.entropy_bottleneck.medians(params["entropy_bottleneck"])
+            zf = jnp.zeros((z.capacity, med.shape[0]), jnp.float32)
+            zf = zf.at[: z_syms_f.shape[0]].set(z_syms_f.astype(jnp.float32))
+            zf = jnp.where(z.mask[:, None], zf + med[None, :], 0.0)
+            z = SparseBlock(coords=z.coords, feats=zf, mask=z.mask, stride=z.stride)
+            scales, means = m.h_s(params, z, y.coords, y.mask)
+            s_codes = m.gaussian_conditional.quantize_scales(scales)
+            scales = s_codes.astype(jnp.float32) / PARAM_GRID
+            means = jnp.round(means * PARAM_GRID) / PARAM_GRID
+            gain = m.scale_nn(params, q)
+            g_codes = m.gaussian_conditional.quantize_gain(gain)
+            idx = m.gaussian_conditional.build_indexes_from_codes(
+                s_codes, g_codes[None, :]
+            ).astype(jnp.uint8)
+            return y.coords, y.mask, scales, means, idx
+
+        return jax.vmap(one)(y_coords, y_mask, z_syms)
+
+    @functools.partial(jax.jit, static_argnames=("self", "level_capacities"))
+    def _synthesize(self, params, y_coords, y_mask, scales, means, y_syms, q, ks, level_capacities):
+        """Per-frame dequant + generative top-k synthesis -> packed uint8
+        buffers [B, ...] (coords int16 | colors u8 | mask u8)."""
+        m = self.model
+
+        def one(coords, mask, sc, mn, syms, ks_f):
+            gain = m.scale_nn(params, q)
+            sym = syms.astype(jnp.float32)
+            if m.config.use_offsets:
+                offs = m.get_offsets(sc * gain[None, :], jnp.abs(sym))
+                mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+            else:
+                mag = jnp.abs(sym)
+            y_hat = jnp.sign(sym) * mag / gain[None, :] + mn
+            y_hat = jnp.where(mask[:, None], y_hat, 0.0)
+            y = SparseBlock(coords=coords, feats=y_hat, mask=mask, stride=8)
+            rgb = m.g_s(params, y, ks_f[:, None], level_capacities)
+            coords16 = rgb.coords.astype(jnp.int16)
+            colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
+            return jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
+                    colors8.reshape(-1),
+                    rgb.mask.astype(jnp.uint8),
+                ]
+            )
+
+        return jax.vmap(one)(y_coords, y_mask, scales, means, y_syms, ks)
+
+    # ------------------------------------------------------------------
+    def decode(self, level) -> list[dict]:
+        """Decode one representation's bitstream with frames over dp."""
+        from pct.entropy.bitstream import SegmentBitstream
+        from pct.gpcc import decode_points
+
+        if isinstance(level, (bytes, bytearray)):
+            level = SegmentBitstream.unpack(bytes(level))
+        if level.geometry_mode == "lossless":
+            raise NotImplementedError("sharded decode handles latent-geometry rungs")
+        num_frames = level.num_frames
+        ks = np.asarray(level.ks, np.int32)  # [B, L] coarse->fine
+        L = ks.shape[1]
+
+        # mirror the sharded encoder's static shapes from the bitstream
+        cap = bucket_size(int(ks[:, -1].max()))
+        level_caps, cap_z = _caps_for(cap)
+        y_sets, nz_counts = [], []
+        for g in level.gpcc_strings:
+            pts = decode_points(g) * 8
+            y_sets.append(pts)
+            nz_counts.append(np.unique(pts // 32, axis=0).shape[0])
+        overflow = any(
+            int(ks[b, 1]) >= level_caps[0]
+            or int(ks[b, 0]) >= level_caps[1]
+            or y_sets[b].shape[0] >= level_caps[2]
+            or nz_counts[b] >= cap_z
+            for b in range(num_frames)
+        )
+        if overflow:
+            level_caps, cap_z = (cap,) * L, cap
+        ny_cap = level_caps[-1]
+
+        b_pad = -(-num_frames // self.dp) * self.dp
+        y_coords = np.zeros((b_pad, ny_cap, 4), np.int32)
+        y_mask = np.zeros((b_pad, ny_cap), bool)
+        for b, pts in enumerate(y_sets):
+            n = pts.shape[0]
+            y_coords[b, :n, 1:] = pts
+            y_mask[b, :n] = True
+
+        # fused host z decode (frame-major stream) -> per-frame planes
+        nz_total = level.z_shape
+        z_all = self.model.entropy_bottleneck.decompress_symbols(
+            self.eb_tables, level.z_string, nz_total
+        ).T.astype(np.int16)  # [nz_total, Cz]
+        assert sum(nz_counts) == nz_total, "z geometry/bitstream mismatch"
+        z_syms = np.zeros((b_pad, cap_z, z_all.shape[1]), np.int16)
+        off = 0
+        for b, nz_b in enumerate(nz_counts):
+            z_syms[b, :nz_b] = z_all[off : off + nz_b]
+            off += nz_b
+
+        shard = NamedSharding(self.mesh, P("dp"))
+        rep = NamedSharding(self.mesh, P())
+        params = jax.tree.map(lambda a: jax.device_put(a, rep), self.params)
+        q = jax.device_put(np.asarray([level.q_g, level.q_a], np.float32), rep)
+        yc_d, ym_d, sc_d, mn_d, idx_d = self._indexes(
+            params,
+            jax.device_put(y_coords, shard),
+            jax.device_put(y_mask, shard),
+            jax.device_put(z_syms, shard),
+            q,
+            cap_z,
+        )
+        idx = np.asarray(jax.device_get(idx_d))
+
+        # fused host y decode (frame-major stream) -> per-frame symbol planes
+        ny_list = [p.shape[0] for p in y_sets]
+        idx_cat = np.concatenate(
+            [idx[b, :n] for b, n in enumerate(ny_list)], axis=0
+        ).astype(np.int32)
+        syms_cat = self.model.gaussian_conditional.decompress(
+            self.gc_tables, level.y_string, idx_cat
+        ).astype(np.int16)
+        y_syms = np.zeros((b_pad, ny_cap, syms_cat.shape[1]), np.int16)
+        off = 0
+        for b, n in enumerate(ny_list):
+            y_syms[b, :n] = syms_cat[off : off + n]
+            off += n
+
+        ks_pad = np.zeros((b_pad, L), np.int32)
+        ks_pad[:num_frames] = ks
+        caps_s = tuple(int(bucket_size(int(ks[:, l].max()))) for l in range(L))
+        bufs = np.asarray(
+            jax.device_get(
+                self._synthesize(
+                    params,
+                    yc_d,
+                    ym_d,
+                    sc_d,
+                    mn_d,
+                    jax.device_put(y_syms, shard),
+                    q,
+                    jax.device_put(ks_pad, shard),
+                    caps_s,
+                )
+            )
+        )
+        cap_out = caps_s[-1]
+        frames = []
+        for b in range(num_frames):
+            buf = bufs[b]
+            coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
+            colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
+            m = buf[cap_out * 11 :].astype(bool)
+            frames.append(
+                {
+                    "points": coords16[m][:, 1:].astype(np.int32),
+                    "colors": np.clip(colors8[m].astype(np.float32) / 255.0, 0.0, 1.0),
+                }
+            )
+        return frames

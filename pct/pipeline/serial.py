@@ -33,11 +33,15 @@ decoder reconstructs the encoder's static y/z capacities from the bitstream
 shapes, so on the same backend both sides execute the same XLA program on
 the same values — bit-identical by construction (same-host parity is what
 the reference also relies on, pinning deterministic CUDA,
-``codec_pipeline.py:16-18``); (2) both sides round (scale, mean) onto a
-1/256 grid before index derivation, which absorbs the ulp-level drift of
-*cross*-backend deployments (TPU encode -> CPU decode) — measured by
-``scripts/cross_backend_check.py``, which counts index/symbol flips
-bit-for-bit.
+``codec_pipeline.py:16-18``); (2) the coding-index derivation is
+INTEGERIZED (``GaussianConditional.build_indexes_from_codes``): scales and
+gains are rounded once onto fixed-point grids (1/256 and 1/64) and
+everything after — the scale*gain product and the table compare — is int32
+arithmetic, bit-exact on any backend by construction. The parity surface of
+a cross-backend deployment (TPU encode -> CPU decode) is therefore exactly
+the two grid roundings, whose flip risk is confined to h_s outputs within
+one float ulp of a grid boundary — measured 0 flips over 315k x 3 by
+``scripts/cross_backend_check.py``, kept as a regression.
 """
 
 from __future__ import annotations
@@ -202,16 +206,18 @@ class SerialEncoder:
         z_hat = z.with_feats(z_sym + med[None, :])
 
         scales, means = m.h_s(params, z_hat, y.coords, y.mask)
-        scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
+        # integerized index path: after these two grid roundings everything
+        # is int32 — bit-exact across backends (gaussian.py docstring)
+        s_codes = m.gaussian_conditional.quantize_scales(scales)
         means = jnp.round(means * PARAM_GRID) / PARAM_GRID
-        scales = m.gaussian_conditional.lower_bound_scale(scales)
 
         syms, idxs = [], []
         for i in range(qs.shape[0]):  # static quality count
             gain = m.scale_nn(params, qs[i])
+            g_codes = m.gaussian_conditional.quantize_gain(gain)
             sym = jnp.round(y.feats * gain[None, :] - means * gain[None, :])
             sym = jnp.where(y.mask[:, None], sym, 0)
-            idx = m.gaussian_conditional.build_indexes(scales * gain[None, :])
+            idx = m.gaussian_conditional.build_indexes_from_codes(s_codes, g_codes[None, :])
             syms.append(sym.astype(jnp.int16))
             idxs.append(idx.astype(jnp.uint8))
         # single int32 metadata vector: one host pull instead of four
@@ -488,11 +494,14 @@ class SerialDecoder:
         z = SparseBlock(coords=z.coords, feats=zf, mask=z.mask, stride=z.stride)
 
         scales, means = m.h_s(params, z, y.coords, y.mask)
-        scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
+        s_codes = m.gaussian_conditional.quantize_scales(scales)
+        scales = s_codes.astype(jnp.float32) / PARAM_GRID  # grid scales (offsets path)
         means = jnp.round(means * PARAM_GRID) / PARAM_GRID
-        scales = m.gaussian_conditional.lower_bound_scale(scales)
         gain = m.scale_nn(params, q)
-        idx = m.gaussian_conditional.build_indexes(scales * gain[None, :]).astype(jnp.uint8)
+        g_codes = m.gaussian_conditional.quantize_gain(gain)
+        idx = m.gaussian_conditional.build_indexes_from_codes(
+            s_codes, g_codes[None, :]
+        ).astype(jnp.uint8)
         return y, scales, means, idx
 
     # ------------------------------------------------------------------
@@ -516,14 +525,17 @@ class SerialDecoder:
         zf = jnp.where(z.mask[:, None], zf + med[None, :], 0.0)
         z = SparseBlock(coords=z.coords, feats=zf, mask=z.mask, stride=z.stride)
         scales, means = m.h_s(params, z, y.coords, y.mask)
-        scales = jnp.round(scales * PARAM_GRID) / PARAM_GRID
+        s_codes = m.gaussian_conditional.quantize_scales(scales)
+        scales = s_codes.astype(jnp.float32) / PARAM_GRID
         means = jnp.round(means * PARAM_GRID) / PARAM_GRID
-        scales = m.gaussian_conditional.lower_bound_scale(scales)
         idxs = []
         for i in range(nq):
             gain = m.scale_nn(params, qs[i])
+            g_codes = m.gaussian_conditional.quantize_gain(gain)
             idxs.append(
-                m.gaussian_conditional.build_indexes(scales * gain[None, :]).astype(jnp.uint8)
+                m.gaussian_conditional.build_indexes_from_codes(
+                    s_codes, g_codes[None, :]
+                ).astype(jnp.uint8)
             )
         return y, scales, means, jnp.stack(idxs)
 

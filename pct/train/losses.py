@@ -70,6 +70,11 @@ def _coord_set_at_stride(block: SparseBlock, factor: int):
     return tmp.coords, tmp.mask
 
 
+def _ste_round(x: jax.Array) -> jax.Array:
+    """round(x) with a straight-through (identity) gradient."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
 def frame_rd_loss(
     model: ColorModel,
     params: Params,
@@ -80,6 +85,8 @@ def frame_rd_loss(
     lambda_a: float = 255.0**2 / 1e4,
     g_ratio: float = 1.0,
     a_ratio: float = 1.0,
+    ste: bool = False,
+    tf_color: float = 0.0,
 ) -> tuple[jax.Array, Dict[str, Any]]:
     """RD loss for a single frame block (batch column all zeros). Returns
     (scalar loss, metrics dict). vmap over frames for a batch.
@@ -90,6 +97,25 @@ def frame_rd_loss(
     operating points (a linear ``lambda*(0.1+q)`` spread collapsed to one
     effective rate in round 1). ``ratio == 1`` recovers the legacy linear
     weighting for existing tests.
+
+    ``ste``: feed the synthesis/distortion path the DECODE-TIME
+    reconstruction — hard-rounded symbols with straight-through gradients —
+    instead of the noise surrogate; the rate terms keep the noise surrogate
+    (the standard CompressAI noise-for-rate / STE-for-distortion split).
+    Under the identity gradient the distortion gradient w.r.t. gain/means is
+    exactly zero (y_hat == y along the differentiated path), so this does NOT
+    reintroduce the round-2 divergence (whose stop_gradient wrapped only the
+    rounding, leaving a pathological distortion gradient into the gain via
+    the 1/gain dequantization). Closes the train/decode occupancy gap: the
+    top-k ranking and color head train on exactly the features decode sees.
+
+    ``tf_color`` > 0: add a teacher-forced color loss — synthesis evaluated
+    at the TRUE coordinate pyramid via ``g_s_at`` (the lossless-geometry
+    decode path, ``pct/pipeline/serial.py::_decompress_lossless``) with MSE
+    against the exact input colors, weighted ``tf_color * w_a``. This is the
+    direct training signal for the lossless rung's attribute fidelity (and
+    for hit colors generally): every true voxel gets color supervision, not
+    just the decode hits.
 
     Level capacities: surface clouds shrink ~2-4x per stride level, so the
     deeper analysis levels and the 8x synthesis candidate grids run under
@@ -117,7 +143,7 @@ def frame_rd_loss(
         jnp.log2(jnp.maximum(z_lik, 1e-9)) * z.mask[None, :], dtype=jnp.float32
     )
 
-    # hyper synthesis on noisy z_hat
+    # hyper synthesis on noisy z_hat (rate path)
     z_hat = z.with_feats(z_noisy.T)
     scales, means = model.h_s(params, z_hat, y.coords, y.mask)
 
@@ -130,12 +156,26 @@ def frame_rd_loss(
         jnp.log2(jnp.maximum(y_lik, 1e-9)) * y.mask[:, None], dtype=jnp.float32
     )
 
-    # synthesis input: noise-quantized latents (de-gained). A straight-through
-    # rounded path was tried and reverted — wrapping the dequantization in
-    # stop_gradient cuts the distortion gradient to gain/means entirely and
-    # the run diverges (bpp 2 -> 9 in 750 steps); the noise surrogate keeps
-    # the full RD coupling and trains stably.
-    y_hat = y.with_feats(y_noisy / gain)
+    if ste:
+        # decode-matched reconstruction: hard-round z (h_s re-runs on the
+        # decode-time z_hat) and y, straight-through gradients. y_hat == y
+        # along the differentiated path, so gain/means receive distortion
+        # gradient 0 (they train through the rate terms), y and the
+        # synthesis weights see the exact decode-time values.
+        med = model.entropy_bottleneck.medians(params["entropy_bottleneck"])
+        z_hard = z.with_feats(_ste_round(z.feats - med[None, :]) + med[None, :])
+        _, means_h = model.h_s(params, z_hard, y.coords, y.mask)
+        # the codec rounds (scale, mean) onto the 1/256 parity grid before
+        # use (serial.py PARAM_GRID); match it, straight-through
+        means_h = (
+            means_h + jax.lax.stop_gradient(jnp.round(means_h * 256.0) / 256.0 - means_h)
+        )
+        y_hat_f = _ste_round((y.feats - means_h) * gain) / gain + means_h
+        y_hat_f = jnp.where(y.mask[:, None], y_hat_f, 0.0)
+        y_hat = y.with_feats(y_hat_f)
+    else:
+        # noise-quantized latents (de-gained): the legacy surrogate.
+        y_hat = y.with_feats(y_noisy / gain)
     rgb, aux = model.g_s(params, y_hat, ks, level_capacities=caps_s, return_logits=True)
 
     # occupancy BCE per level against the true coordinate pyramid (the g_s
@@ -168,6 +208,24 @@ def frame_rd_loss(
     w = (rgb.mask & (hit | pfound)).astype(jnp.float32)[:, None]
     color_mse = jnp.sum(w * (rgb.feats - target) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
 
+    # teacher-forced color: synthesis at the TRUE coordinate pyramid (the
+    # lossless-geometry decode path) — exact color supervision at every
+    # input voxel, independent of occupancy ranking quality
+    tf_mse = jnp.float32(0.0)
+    if tf_color > 0.0:
+        level_blocks = []
+        for level in range(model.config.num_levels):
+            factor = 2 ** (model.config.num_levels - 1 - level)  # 4, 2, 1
+            c_l, m_l = _coord_set_at_stride(block, factor)
+            cap_l = caps_s[level]
+            level_blocks.append((c_l[:cap_l], m_l[:cap_l]))
+        rgb_tf = model.g_s_at(params, y_hat, level_blocks)
+        tf_target = features_at_coordinates(block, rgb_tf.coords, rgb_tf.mask)[:, 1:4]
+        mtf = rgb_tf.mask.astype(jnp.float32)[:, None]
+        tf_mse = jnp.sum(mtf * (rgb_tf.feats - tf_target) ** 2) / jnp.maximum(
+            jnp.sum(mtf) * 3, 1.0
+        )
+
     bpp = (z_bits + y_bits) / num_points
     if g_ratio != 1.0:
         w_g = lambda_g * jnp.power(jnp.float32(g_ratio), q[0] - 1.0)
@@ -175,8 +233,9 @@ def frame_rd_loss(
     else:
         w_g = lambda_g * (0.1 + q[0])
         w_a = lambda_a * (0.1 + q[1])
-    loss = bpp + w_g * occ_loss + w_a * color_mse
+    loss = bpp + w_g * occ_loss + w_a * (color_mse + tf_color * tf_mse)
     metrics = {
+        "tf_color_mse": tf_mse,
         "bpp": bpp,
         "occ_bce": occ_loss,
         "color_mse": color_mse,

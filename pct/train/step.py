@@ -30,6 +30,11 @@ class TrainConfig:
     g_ratio: float = 1.0
     a_ratio: float = 1.0
     grad_clip: float = 0.0  # 0 disables
+    # decode-matched distortion path (hard rounding, straight-through grads)
+    ste: bool = False
+    # weight (relative to w_a) of the teacher-forced color loss at the true
+    # coordinate pyramid (v1 arch only — g_s_at); 0 disables
+    tf_color: float = 0.0
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -44,7 +49,8 @@ def batch_rd_loss(model: ColorModel, cfg: TrainConfig, params: Params, batch: Sp
     """batch: SparseBlock with leading frame axis [B, N, ...]; qs [B, 2]."""
     losses, metrics = jax.vmap(
         lambda blk, q, k: frame_rd_loss(
-            model, params, blk, q, k, cfg.lambda_g, cfg.lambda_a, cfg.g_ratio, cfg.a_ratio
+            model, params, blk, q, k, cfg.lambda_g, cfg.lambda_a, cfg.g_ratio,
+            cfg.a_ratio, cfg.ste, cfg.tf_color,
         )
     )(batch, qs, keys)
     loss = jnp.mean(losses) + cfg.aux_weight * model.entropy_bottleneck.aux_loss(

@@ -67,19 +67,26 @@ def main():
     ap.add_argument("--val-dir", default=VAL_DIR)
     ap.add_argument("--out", default="checkpoints/demo.msgpack")
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--channels", default="16,32,64")
-    ap.add_argument("--latent", type=int, default=64)
-    ap.add_argument("--hyper", type=int, default=32)
+    ap.add_argument("--channels", default="32,64,128")
+    ap.add_argument("--latent", type=int, default=128)
+    ap.add_argument("--hyper", type=int, default=64)
+    ap.add_argument("--occ-layers", type=int, default=2)
+    ap.add_argument("--occ-hidden", type=int, default=32)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--val-every", type=int, default=500)
     ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--resume", default="", help="checkpoint to continue from")
-    ap.add_argument("--lambda-a", type=float, default=300.0)
-    ap.add_argument("--lambda-g", type=float, default=10.0)
-    ap.add_argument("--g-ratio", type=float, default=8.0)
-    ap.add_argument("--a-ratio", type=float, default=24.0)
+    ap.add_argument("--lambda-a", type=float, default=3000.0)
+    ap.add_argument("--lambda-g", type=float, default=60.0)
+    ap.add_argument("--g-ratio", type=float, default=20.0)
+    ap.add_argument("--a-ratio", type=float, default=50.0)
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--ste", action="store_true", default=True,
+                    help="decode-matched hard quantization for the distortion path")
+    ap.add_argument("--no-ste", dest="ste", action="store_false")
+    ap.add_argument("--tf-color", type=float, default=1.0,
+                    help="teacher-forced color loss weight (x lambda_a); 0 disables")
     ap.add_argument("--corner-prob", type=float, default=0.5,
                     help="probability a frame's q is one of the demo corner settings")
     ap.add_argument("--arch", default="v1", help="model architecture: v1 | v2 (pct.models.UnifiedConfig)")
@@ -122,6 +129,8 @@ def main():
             hyper_channels=args.hyper,
             arch=args.arch,
             family_channels=args.family,
+            occ_layers=args.occ_layers,
+            occ_hidden=args.occ_hidden,
         )
         model = ColorModel(cfg)
         params = model.init_params(jax.random.key(0))
@@ -132,6 +141,8 @@ def main():
         g_ratio=args.g_ratio,
         a_ratio=args.a_ratio,
         grad_clip=args.grad_clip,
+        ste=args.ste,
+        tf_color=args.tf_color if args.arch == "v1" else 0.0,
     )
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
@@ -157,7 +168,9 @@ def main():
         batch = arrays_to_training_batch(coords, feats, mask)
         keys = jax.random.split(key, coords.shape[0])
         _, m = jax.vmap(
-            lambda blk, k: frame_rd_loss(model, params, blk, q, k, 1.0, 1.0)
+            lambda blk, k: frame_rd_loss(
+                model, params, blk, q, k, 1.0, 1.0, 1.0, 1.0, tcfg.ste, tcfg.tf_color
+            )
         )(batch, keys)
         return jax.tree.map(jnp.mean, m)
 
@@ -171,8 +184,8 @@ def main():
             m = val_metrics(params, *[jnp.asarray(a) for a in val_arrays], jnp.asarray(q), key)
             out.append(
                 f"q={q.tolist()}: bpp {float(m['bpp']):.3f} "
-                f"mse {float(m['color_mse']):.5f} occ {float(m['occ_bce']):.4f} "
-                f"hit {float(m['hit_rate']):.3f}"
+                f"mse {float(m['color_mse']):.5f} tf {float(m['tf_color_mse']):.5f} "
+                f"occ {float(m['occ_bce']):.4f} hit {float(m['hit_rate']):.3f}"
             )
         print("  VAL " + " | ".join(out), flush=True)
 
@@ -207,6 +220,7 @@ def main():
             print(
                 f"step {i:6d} loss {float(loss):9.4f} bpp {float(metrics['bpp']):6.3f} "
                 f"occ {float(metrics['occ_bce']):6.4f} mse {float(metrics['color_mse']):8.6f} "
+                f"tf {float(metrics['tf_color_mse']):8.6f} "
                 f"hit {float(metrics['hit_rate']):.3f} ({time.time()-t0:.0f}s)",
                 flush=True,
             )

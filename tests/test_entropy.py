@@ -151,3 +151,42 @@ def test_rans_empty_and_single_symbol(rng):
         stream = rans.encode_with_indexes(symbols, indexes, *t.astuple())
         out = rans.decode_with_indexes(stream, indexes, *t.astuple())
         np.testing.assert_array_equal(out, symbols)
+
+
+def test_integer_index_path_matches_float_path(rng):
+    """build_indexes_from_codes reproduces the float path everywhere except
+    within one fixed-point grid step of a table boundary (where the
+    deterministic integer rule takes over)."""
+    gc = GaussianConditional()
+    n = 5000
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(200), n)).astype(np.float32)
+    gain = np.exp(rng.uniform(np.log(0.1), np.log(60), 8)).astype(np.float32)
+    s_codes = np.asarray(gc.quantize_scales(jnp.asarray(scales[:, None])))
+    g_codes = np.asarray(gc.quantize_gain(jnp.asarray(gain)))
+    got = np.asarray(gc.build_indexes_from_codes(jnp.asarray(s_codes), jnp.asarray(g_codes[None, :])))
+    want = np.asarray(gc.build_indexes(jnp.asarray(np.clip(scales[:, None], gc.scale_bound, gc.scale_table[-1]) * gain[None, :])))
+    # the two rules agree except near boundaries; quantify the tolerance
+    diff = np.abs(got - want)
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.05, (diff != 0).mean()
+
+
+def test_integer_index_path_is_ulp_robust(rng):
+    """The structural guarantee: perturbing scales/gains by a few float ulps
+    NEVER flips an index unless the exact value sits within that ulp of a
+    fixed-point grid boundary — and for values ON the grid (what h_s
+    emits after rounding in float) no perturbation below half a grid step
+    can flip anything."""
+    gc = GaussianConditional()
+    n = 4000
+    # values exactly on the scale grid (post-PARAM_GRID h_s outputs)
+    s = (rng.integers(28, 65536, n).astype(np.float32)) / gc.SCALE_FP
+    g = (rng.integers(1, 2**15 - 1, 16).astype(np.float32)) / gc.GAIN_FP
+    for eps_scale in (-1, 1):
+        s_pert = np.nextafter(s, np.float32(eps_scale * np.inf)).astype(np.float32)
+        g_pert = np.nextafter(g, np.float32(eps_scale * np.inf)).astype(np.float32)
+        a = np.asarray(gc.build_indexes_from_codes(
+            gc.quantize_scales(jnp.asarray(s[:, None])), gc.quantize_gain(jnp.asarray(g))[None, :]))
+        b = np.asarray(gc.build_indexes_from_codes(
+            gc.quantize_scales(jnp.asarray(s_pert[:, None])), gc.quantize_gain(jnp.asarray(g_pert))[None, :]))
+        np.testing.assert_array_equal(a, b)
