@@ -28,6 +28,10 @@ DEFAULTS: dict[str, Any] = {
     # codec
     "encoding_settings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
     "lossless_rep": False,
+    # pre-compile the codec bucket ladder at service startup (warmup.py)
+    "prewarm_buckets": False,
+    "prewarm_max_points": 0,  # 0 -> min(max_points, frames*20k)
+    "prewarm_example_path": "",  # recorded frames for density-matched shapes
     "decoder_type": "Pipelined",  # Single | Pipelined
     "checkpoint_path": "",  # empty -> deterministic random init
     "init_quality": 1,

@@ -28,7 +28,7 @@ import numpy as np
 
 from pct.sparse import coords as coords_lib
 from pct.sparse.block import PAD_COORD, SparseBlock
-from pct.ops.kernel_maps import build_kernel_map, kernel_offsets
+from pct.ops.kernel_maps import build_kernel_map, build_self_kernel_map, kernel_offsets
 
 
 K_CHUNK = 9  # taps materialized per gather (27 = 3 chunks); bounds the
@@ -90,6 +90,11 @@ def build_kmap(block: SparseBlock, kernel_size: int) -> tuple[jax.Array, jax.Arr
     feature conv and its occupancy head in the decoder) to skip repeated
     sorted searches (the kernel-map-reuse north star, BASELINE.json)."""
     offs = kernel_offsets(kernel_size)
+    if kernel_size % 2 == 1:
+        # same-grid odd kernels take the symmetric fast path: query only the
+        # negative offset half and scatter the mirror hits (half the sort
+        # volume of the general map build)
+        return build_self_kernel_map(block, offs, block.stride)
     return build_kernel_map(block, block.coords, block.mask, offs, block.stride)
 
 
@@ -111,6 +116,8 @@ def sparse_conv(
     ksize = round(weight.shape[0] ** (1 / 3))
     assert ksize**3 == weight.shape[0], f"bad kernel taps {weight.shape[0]}"
     if out_coords is None:
+        if kmap is None:
+            kmap = build_kmap(block, ksize)
         out_coords, out_mask = block.coords, block.mask
     if kmap is None:
         offs = kernel_offsets(ksize)

@@ -34,6 +34,67 @@ def kernel_offsets(kernel_size: int, dimension: int = 3) -> np.ndarray:
     return np.array(list(itertools.product(r, repeat=dimension)), dtype=np.int32)
 
 
+def build_self_kernel_map(
+    block: SparseBlock,
+    offsets: np.ndarray,
+    offset_stride: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Kernel map of a SAME-grid conv (out coords == in coords), exploiting
+    symmetry: for an odd, centered offset set, ``offsets[t] == -offsets[K-1-t]``,
+    so a hit ``coords[j] == coords[i] + off_t`` implies the mirror entry
+    ``idx[j, K-1-t] = i``. Only the K//2 "negative" offsets are queried — the
+    center tap is the identity and the positive half is scattered from the
+    hits — HALVING the dominant sort volume of the merge-rank join
+    (PERF.md: kernel-map builds are the largest sort term of both codec
+    sides). Requires a deduplicated block (canonical blocks are).
+
+    Returns ``(idx [N, K] int32, found [N, K] bool)`` exactly as
+    :func:`build_kernel_map` would.
+    """
+    k = offsets.shape[0]
+    assert k % 2 == 1, "self-map symmetry needs an odd (centered) kernel"
+    half = k // 2
+    assert (offsets[:half] == -offsets[:half:-1]).all(), "offsets not mirrored"
+    n = block.capacity
+    coords, mask = block.coords, block.mask
+
+    off = jnp.asarray(offsets[:half], jnp.int32) * jnp.int32(offset_stride)
+    off4 = jnp.concatenate([jnp.zeros((half, 1), jnp.int32), off], axis=1)
+    queries = (coords[:, None, :] + off4[None, :, :]).reshape(n * half, 4)
+    qmask = jnp.broadcast_to(mask[:, None], (n, half)).reshape(n * half)
+    idx_lo, found_lo = coords_lib.find_coords(coords, queries, mask, qmask)
+    idx_lo = idx_lo.reshape(n, half)
+    found_lo = found_lo.reshape(n, half)
+
+    # mirror scatter: hit (i, t) -> row j=idx_lo[i,t] has input i at tap K-1-t.
+    # Flattened upper-half layout [N, half] indexed by u = (K-1-t) - (half+1)
+    # = half-1-t. Each (j, u) slot has at most one writer (i is determined by
+    # j and the offset), so the scatter is collision-free.
+    rows = idx_lo  # [n, half] = j
+    taps = jnp.broadcast_to(
+        jnp.arange(half - 1, -1, -1, dtype=jnp.int32)[None, :], (n, half)
+    )  # u = half-1-t
+    slot = jnp.where(found_lo, rows * half + taps, n * half)
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, half))
+    idx_hi = (
+        jnp.zeros((n * half + 1,), jnp.int32)
+        .at[slot.reshape(-1)]
+        .set(src.reshape(-1), mode="drop")[: n * half]
+        .reshape(n, half)
+    )
+    found_hi = (
+        jnp.zeros((n * half + 1,), bool)
+        .at[slot.reshape(-1)]
+        .set(found_lo.reshape(-1), mode="drop")[: n * half]
+        .reshape(n, half)
+    )
+
+    center_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    idx = jnp.concatenate([idx_lo, center_idx, idx_hi], axis=1)
+    found = jnp.concatenate([found_lo, mask[:, None], found_hi], axis=1)
+    return idx, found
+
+
 def build_kernel_map(
     in_block: SparseBlock,
     out_coords: jax.Array,

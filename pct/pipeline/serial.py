@@ -63,10 +63,38 @@ from pct.sparse.block import SparseBlock, bucket_size, canonicalize
 
 PARAM_GRID = 256.0  # (scale, mean) quantization grid, see module docstring
 
-# Static capacity fractions per stride level relative to the input capacity
-# (surface-like clouds shrink ~3-4x per level). Overflow triggers a
-# full-capacity fallback, verified against the returned occupancy counts.
-LEVEL_CAP_FRACTIONS = (2, 8, 16)  # after down0 (stride 2), down1 (4), down2 (8=y)
+# Loud cold-compile detection: jitted codec graphs are keyed on bucket
+# capacities; compiling one mid-stream stalls the live pipeline for tens of
+# seconds (the round-2 10 fps campaign lost 40% of segments to exactly
+# this). First-seen shape keys that take >1 s are logged so steady-state
+# cold compiles are visible; pct.pipeline.warmup pre-compiles the ladder.
+_SEEN_SHAPES: set = set()
+
+
+def _loud_compile(kind: str, key, fn):
+    k = (kind, key)
+    first = k not in _SEEN_SHAPES
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    if first:
+        _SEEN_SHAPES.add(k)
+        if dt > 1.0:
+            print(
+                f"[pct] cold compile on the hot path: {kind} {key} took {dt:.1f}s "
+                f"(prewarm the bucket ladder: pct.pipeline.warmup.prewarm_codec)",
+                flush=True,
+            )
+    return out
+
+# Static capacity divisors per stride level relative to the input capacity.
+# Measured on the recorded camera data (max per-stride occupancy ratios over
+# the test sequence): stride2 0.42, stride4 0.141, stride8 0.046, stride32
+# 0.004. The round-2 divisors (2, 8, 16) put the stride-4 cap at 0.125 —
+# BELOW the measured 0.141 — so dense frames routinely fired the
+# full-capacity overflow fallback (an extra graph family to compile, and a
+# far slower one). These divisors keep >=1.3x margin at every level.
+LEVEL_CAP_FRACTIONS = (1.6, 5.5, 14.0)  # after down0 (stride 2), down1 (4), down2 (8=y)
 Z_CAP_FRACTION = 64
 SMALL_INPUT = 4096  # below this, skip fractional capacities entirely
 
@@ -154,7 +182,7 @@ def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:
     if capacity <= SMALL_INPUT:
         return (capacity,) * len(LEVEL_CAP_FRACTIONS), capacity
     return (
-        tuple(capacity // f for f in LEVEL_CAP_FRACTIONS),
+        tuple(int(capacity / f) for f in LEVEL_CAP_FRACTIONS),
         capacity // Z_CAP_FRACTION,
     )
 
@@ -258,15 +286,19 @@ class SerialEncoder:
         cap = coords.shape[0]
         level_caps, cap_z = _caps_for(cap)
         qs = jnp.asarray(np.asarray(settings, np.float32))
-        out = self._stage1(
-            self.params,
-            jnp.asarray(coords),
-            jnp.asarray(feats),
-            jnp.asarray(mask),
-            qs,
-            num_frames,
-            level_caps,
-            cap_z,
+        out = _loud_compile(
+            "encode",
+            (cap, num_frames, len(settings)),
+            lambda: self._stage1(
+                self.params,
+                jnp.asarray(coords),
+                jnp.asarray(feats),
+                jnp.asarray(mask),
+                qs,
+                num_frames,
+                level_caps,
+                cap_z,
+            ),
         )
         def unpack_meta(meta):
             meta = np.asarray(meta)
@@ -624,14 +656,18 @@ class SerialDecoder:
         )
 
         qs = jnp.asarray([[lv.q_g, lv.q_a] for lv in levels], jnp.float32)
-        y_block, scales, means, idxs = self._phase1_multi(
-            self.params,
-            jnp.asarray(coords),
-            jnp.asarray(mask),
-            jnp.asarray(z_syms),
-            qs,
-            nz_cap,
-            len(levels),
+        y_block, scales, means, idxs = _loud_compile(
+            "decode.phase1_multi",
+            (ny_cap, nz_cap, len(levels)),
+            lambda: self._phase1_multi(
+                self.params,
+                jnp.asarray(coords),
+                jnp.asarray(mask),
+                jnp.asarray(z_syms),
+                qs,
+                nz_cap,
+                len(levels),
+            ),
         )
         idxs_np = np.asarray(idxs)
         y_syms_q = np.zeros((len(levels), ny_cap, idxs_np.shape[-1]), np.int16)
@@ -644,15 +680,19 @@ class SerialDecoder:
         caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
         bufs = np.asarray(
             jax.device_get(
-                self._phase2_multi(
-                    self.params,
-                    y_block,
-                    scales,
-                    means,
-                    jnp.asarray(y_syms_q),
-                    qs,
-                    jnp.asarray(ks),
-                    caps,
+                _loud_compile(
+                    "decode.phase2_multi",
+                    (ny_cap, caps, len(levels)),
+                    lambda: self._phase2_multi(
+                        self.params,
+                        y_block,
+                        scales,
+                        means,
+                        jnp.asarray(y_syms_q),
+                        qs,
+                        jnp.asarray(ks),
+                        caps,
+                    ),
                 )
             )
         )
@@ -884,13 +924,17 @@ class SerialDecoder:
         # D4 hyper synthesis + indexes (device phase 1)
         t0 = time.time()
         q = jnp.asarray([level.q_g, level.q_a], jnp.float32)
-        y_block, scales, means, idx_dev = self._phase1(
-            self.params,
-            jnp.asarray(coords),
-            jnp.asarray(mask),
-            jnp.asarray(z_syms),
-            q,
-            cap_z=nz_cap,
+        y_block, scales, means, idx_dev = _loud_compile(
+            "decode.phase1",
+            (ny_cap, nz_cap),
+            lambda: self._phase1(
+                self.params,
+                jnp.asarray(coords),
+                jnp.asarray(mask),
+                jnp.asarray(z_syms),
+                q,
+                cap_z=nz_cap,
+            ),
         )
         idx = np.asarray(idx_dev)
         t_hyper = time.time() - t0
@@ -911,15 +955,19 @@ class SerialDecoder:
         caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
         buf = np.asarray(
             jax.device_get(
-                self._phase2(
-                    self.params,
-                    y_block,
-                    scales,
-                    means,
-                    jnp.asarray(y_syms),
-                    q,
-                    jnp.asarray(ks),
-                    caps,
+                _loud_compile(
+                    "decode.phase2",
+                    (ny_cap, caps),
+                    lambda: self._phase2(
+                        self.params,
+                        y_block,
+                        scales,
+                        means,
+                        jnp.asarray(y_syms),
+                        q,
+                        jnp.asarray(ks),
+                        caps,
+                    ),
                 )
             )
         )

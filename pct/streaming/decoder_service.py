@@ -104,7 +104,40 @@ class Decoder:
         except Exception as e:  # noqa: BLE001
             print(f"[decoder] segment {msg.get('segment_number')} failed: {e}", flush=True)
 
+    def prewarm(self) -> None:
+        """Compile the decode bucket ladder before live traffic (config
+        ``prewarm_buckets``): encode synthetic GOPs with a local encoder
+        built from the same weights, then decode them through this
+        pipeline's serial core."""
+        from pct.pipeline import SerialEncoder
+        from pct.pipeline.warmup import prewarm_codec
+
+        serial = getattr(self.pipeline, "_serial", self.pipeline)
+        enc = SerialEncoder(
+            serial.model,
+            serial.params,
+            {"eb": serial.eb_tables, "gc": serial.gc_tables},
+        )
+        fps = int(self.config.get("target_fps", 5))
+        n = max(1, round(float(self.config.get("segment_duration", 1.0)) * fps))
+        maxp = int(self.config.get("prewarm_max_points", 0)) or min(
+            int(self.config.get("max_points", 150_000)), n * 20_000
+        )
+        from pct.streaming.encoder_service import _prewarm_examples
+
+        prewarm_codec(
+            enc,
+            self.pipeline,
+            num_frames=n,
+            max_points=maxp,
+            settings=list(self.config.get("encoding_settings")),
+            lossless=bool(self.config.get("lossless_rep", False)),
+            example_frames=_prewarm_examples(self.config),
+        )
+
     def run(self, max_segments: Optional[int] = None) -> None:
+        if self.config.get("prewarm_buckets", False):
+            self.prewarm()
         done = 0
         while True:
             msg = self.pull.recv()

