@@ -604,6 +604,12 @@ class SerialDecoder:
             ]
         )
 
+    # Max representations fused into one batched decode graph. The demo
+    # ladder is 3; a 5-way vmapped synthesis graph crashed the v5e worker
+    # ("TPU worker process crashed", round-3 eval) while the 3-way graph of
+    # the same shapes runs fine — larger batches decode in chunks of this.
+    MAX_FUSED_LEVELS = 3
+
     def decompress_levels(self, levels: Sequence[SegmentBitstream | bytes]):
         """Decode EVERY quality representation of one segment in one batched
         device pass. All levels must share geometry (same GOP: same
@@ -634,6 +640,12 @@ class SerialDecoder:
                 lat_outs, _ = self.decompress_levels([levels[i] for i in lat_idx])
                 for j, i in enumerate(lat_idx):
                     outs[i] = lat_outs[j]
+            return outs, {"num_levels": len(levels)}
+        if len(levels) > self.MAX_FUSED_LEVELS:
+            outs = []
+            for i in range(0, len(levels), self.MAX_FUSED_LEVELS):
+                chunk, _ = self.decompress_levels(levels[i : i + self.MAX_FUSED_LEVELS])
+                outs.extend(chunk)
             return outs, {"num_levels": len(levels)}
         num_frames = lv0.num_frames
         coords = []

@@ -47,7 +47,7 @@ def upgrade_occ_heads(model, params):
     g_s = params.get("g_s", {})
     changed = False
     for k, v in list(g_s.items()):
-        if k.startswith("occ") and v["w"].ndim == 2:
+        if k.startswith("occ") and "w" in v and v["w"].ndim == 2:
             c, eight = v["w"].shape
             w = jnp.zeros((27, c, eight), jnp.float32).at[13].set(v["w"])
             g_s[k] = {"w": w, "b": v["b"]}
@@ -193,7 +193,7 @@ def main():
                 model, params, blk, q, k, 1.0, 1.0, 1.0, 1.0, tcfg.ste, tcfg.tf_color
             )
         )(batch, keys)
-        return jax.tree.map(jnp.mean, m)
+        return jax.tree.map(lambda x: jnp.mean(x, axis=0), m)
 
     val_rng = np.random.default_rng(7)
     val_idx = val_rng.integers(0, len(val_ds), 4)
@@ -203,10 +203,12 @@ def main():
         out = []
         for q in DEMO_SETTINGS:
             m = val_metrics(params, *[jnp.asarray(a) for a in val_arrays], jnp.asarray(q), key)
+            sel = "/".join(f"{float(x):.2f}" for x in np.asarray(m["sel_acc"]))
             out.append(
                 f"q={q.tolist()}: bpp {float(m['bpp']):.3f} "
                 f"mse {float(m['color_mse']):.5f} tf {float(m['tf_color_mse']):.5f} "
-                f"occ {float(m['occ_bce']):.4f} hit {float(m['hit_rate']):.3f}"
+                f"occ {float(m['occ_bce']):.4f} hit {float(m['hit_rate']):.3f} "
+                f"sel {sel}"
             )
         print("  VAL " + " | ".join(out), flush=True)
 
