@@ -99,11 +99,20 @@ class UnifiedConfig:
     # hit rate; a linear scorer tops out near 0.55 (round-2/3 measurement).
     occ_layers: int = 1
     occ_hidden: int = 32
+    # Intermediate-level keep factors (coarse -> fine): prune to
+    # ``factor * k`` at the non-final synthesis levels instead of exactly k.
+    # The k contract only binds the FINAL voxel count (the bitstream is
+    # unchanged); exact intermediate pruning makes fine-level recall the
+    # PRODUCT of per-level recalls (~0.85^3 ~= 0.61 measured ceiling), while
+    # over-provisioning lets nearly every true cell survive to the final
+    # clean top-k. The last entry must be 1.0. Carried in the checkpoint so
+    # training and decode prune identically.
+    keep_factors: tuple[float, ...] = (1.0, 1.0, 1.0)
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
         d = dict(d)
-        for k in ("channels",):
+        for k in ("channels", "keep_factors"):
             if k in d:
                 d[k] = tuple(d[k])
         return cls(**d)
@@ -111,6 +120,7 @@ class UnifiedConfig:
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["channels"] = list(d["channels"])
+        d["keep_factors"] = list(d["keep_factors"])
         return d
 
 
@@ -511,7 +521,13 @@ class ColorModel:
             flat_logits = logits.reshape(n * 8)
             if return_logits:
                 aux.append((cand_coords, cand_mask, flat_logits))
-            keep = topk_per_batch_mask(cand_coords[:, 0], flat_logits, cand_mask, ks[i])
+            kf = float(self.config.keep_factors[i]) if i < last else 1.0
+            k_eff = (
+                ks[i]
+                if kf == 1.0
+                else jnp.round(ks[i].astype(jnp.float32) * kf).astype(jnp.int32)
+            )
+            keep = topk_per_batch_mask(cand_coords[:, 0], flat_logits, cand_mask, k_eff)
 
             # compact survivors into canonical order (coords only — no feats yet)
             kept_mask = cand_mask & keep

@@ -369,7 +369,11 @@ class ShardedFrameDecoder:
 
         ks_pad = np.zeros((b_pad, L), np.int32)
         ks_pad[:num_frames] = ks
-        caps_s = tuple(int(bucket_size(int(ks[:, l].max()))) for l in range(L))
+        kf = self.model.config.keep_factors
+        caps_s = tuple(
+            int(bucket_size(int(np.ceil(float(ks[:, l].max()) * (kf[l] if l < L - 1 else 1.0)))))
+            for l in range(L)
+        )
         bufs = np.asarray(
             jax.device_get(
                 self._synthesize(

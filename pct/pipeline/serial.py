@@ -177,6 +177,21 @@ def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
     )
 
 
+def _synth_caps(model: ColorModel, ks: np.ndarray) -> tuple[int, ...]:
+    """Decode-side synthesis level capacities from the transmitted k sums,
+    scaled by the checkpoint's intermediate keep factors (``ks``: [L, B])."""
+    kf = model.config.keep_factors
+    last = ks.shape[0] - 1
+    return tuple(
+        int(
+            bucket_size(
+                int(np.ceil(float(ks[l].sum()) * (kf[l] if l < last else 1.0)))
+            )
+        )
+        for l in range(ks.shape[0])
+    )
+
+
 def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:
     """(per-level g_a caps, z cap) for a given input capacity."""
     if capacity <= SMALL_INPUT:
@@ -689,7 +704,7 @@ class SerialDecoder:
             ).astype(np.int16)
 
         ks = np.asarray(lv0.ks, np.int32).T
-        caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
+        caps = _synth_caps(self.model, ks)
         bufs = np.asarray(
             jax.device_get(
                 _loud_compile(
@@ -964,7 +979,7 @@ class SerialDecoder:
         # D6 synthesis with per-frame top-k pruning
         t0 = time.time()
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
-        caps = tuple(int(bucket_size(int(ks[l].sum()))) for l in range(ks.shape[0]))
+        caps = _synth_caps(self.model, ks)
         buf = np.asarray(
             jax.device_get(
                 _loud_compile(

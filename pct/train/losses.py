@@ -127,7 +127,14 @@ def frame_rd_loss(
     cap = block.capacity
     if cap >= 4096:
         caps_a = (cap // 2, cap // 4, cap // 8)
-        caps_s = (cap // 4, cap // 2, cap)
+        # synthesis survivor capacities scale with the intermediate keep
+        # factors (over-provisioned pruning); kf == 1 reproduces the legacy
+        # shapes exactly (cached graphs stay valid)
+        kf = model.config.keep_factors
+        caps_s = tuple(
+            min(cap, int(base * f))
+            for base, f in zip((cap // 4, cap // 2, cap), kf)
+        )
     else:
         caps_a = caps_s = (cap,) * model.config.num_levels
 
@@ -181,8 +188,6 @@ def frame_rd_loss(
     # occupancy BCE per level against the true coordinate pyramid (the g_s
     # aux entries are the 8x candidate grids scored from parent features)
     occ_loss = jnp.float32(0.0)
-    sel_acc = []  # per-level top-k selection accuracy (where does compounding
-    # selection error come from: hit_rate ~= prod(level accuracies))
     for level, (cand_coords, cand_mask, logits) in enumerate(aux):
         factor = 2 ** (model.config.num_levels - 1 - level)  # 4, 2, 1
         true_c, true_m = _coord_set_at_stride(block, factor)
@@ -192,12 +197,6 @@ def frame_rd_loss(
         occ_loss = occ_loss + jnp.sum(bce * cand_mask) / jnp.maximum(
             jnp.sum(cand_mask.astype(jnp.float32)), 1.0
         )
-        # of the k_l true voxels at this level, how many does the top-k keep?
-        from pct.ops import topk_per_batch_mask
-
-        keep = topk_per_batch_mask(cand_coords[:, 0], logits, cand_mask, ks[level])
-        n_true = jnp.maximum(jnp.sum(target * cand_mask), 1.0)
-        sel_acc.append(jnp.sum(target * (keep & cand_mask)) / n_true)
 
     # color MSE on ALL reconstructed voxels: exact input color on hits, the
     # parent stride-2 cell's mean input color otherwise. Supervising only
@@ -244,7 +243,6 @@ def frame_rd_loss(
     loss = bpp + w_g * occ_loss + w_a * (color_mse + tf_color * tf_mse)
     metrics = {
         "tf_color_mse": tf_mse,
-        "sel_acc": jnp.stack(sel_acc),  # [L] coarse->fine top-k recall
         "bpp": bpp,
         "occ_bce": occ_loss,
         "color_mse": color_mse,

@@ -56,9 +56,7 @@ def batch_rd_loss(model: ColorModel, cfg: TrainConfig, params: Params, batch: Sp
     loss = jnp.mean(losses) + cfg.aux_weight * model.entropy_bottleneck.aux_loss(
         params["entropy_bottleneck"]
     )
-    # mean over the frame axis only: vector-valued metrics (per-level
-    # selection accuracies) keep their level axis
-    return loss, jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics)
+    return loss, jax.tree.map(jnp.mean, metrics)
 
 
 def make_train_step(model: ColorModel, cfg: TrainConfig, optimizer):

@@ -193,7 +193,7 @@ def main():
                 model, params, blk, q, k, 1.0, 1.0, 1.0, 1.0, tcfg.ste, tcfg.tf_color
             )
         )(batch, keys)
-        return jax.tree.map(lambda x: jnp.mean(x, axis=0), m)
+        return jax.tree.map(jnp.mean, m)
 
     val_rng = np.random.default_rng(7)
     val_idx = val_rng.integers(0, len(val_ds), 4)
@@ -203,12 +203,10 @@ def main():
         out = []
         for q in DEMO_SETTINGS:
             m = val_metrics(params, *[jnp.asarray(a) for a in val_arrays], jnp.asarray(q), key)
-            sel = "/".join(f"{float(x):.2f}" for x in np.asarray(m["sel_acc"]))
             out.append(
                 f"q={q.tolist()}: bpp {float(m['bpp']):.3f} "
                 f"mse {float(m['color_mse']):.5f} tf {float(m['tf_color_mse']):.5f} "
-                f"occ {float(m['occ_bce']):.4f} hit {float(m['hit_rate']):.3f} "
-                f"sel {sel}"
+                f"occ {float(m['occ_bce']):.4f} hit {float(m['hit_rate']):.3f}"
             )
         print("  VAL " + " | ".join(out), flush=True)
 

@@ -313,3 +313,28 @@ def test_bucket_ladder_and_prewarm(codec):
     levels, _ = enc.compress(frames, [[1.0, 1.0]])
     out, _ = dec.decompress(levels[0])
     assert sum(f["points"].shape[0] for f in out) == 700
+
+
+def test_keep_factors_preserve_k_contract(codec, rng):
+    """Over-provisioned intermediate pruning (keep_factors > 1) changes only
+    internal survivor sets: the decoded per-frame point count still equals
+    the transmitted k exactly, and the bitstream is identical to the
+    exact-pruning encoder's."""
+    import dataclasses
+
+    from pct.models import ColorModel
+    from pct.pipeline import SerialDecoder
+
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=2, n=400)
+    levels, _ = enc.compress(frames, [[1.0, 1.0]])
+    m2 = ColorModel(dataclasses.replace(enc.model.config, keep_factors=(2.0, 1.5, 1.0)))
+    dec2 = SerialDecoder(m2, enc.params)
+    out, _ = dec2.decompress(levels[0])
+    for fr, orig in zip(out, frames):
+        assert fr["points"].shape[0] == orig["points"].shape[0]
+    # config roundtrips through the checkpoint dict
+    d = m2.config.to_dict()
+    from pct.models import UnifiedConfig
+
+    assert UnifiedConfig.from_dict(d) == m2.config
