@@ -28,6 +28,7 @@ DEFAULTS: dict[str, Any] = {
     # codec
     "encoding_settings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
     "lossless_rep": False,
+    "lossless_color_step": 12,  # lossless-rung color-residual quantization step (1/255 units)
     # pre-compile the codec bucket ladder at service startup (warmup.py)
     "prewarm_buckets": False,
     "prewarm_max_points": 0,  # 0 -> min(max_points, frames*20k)

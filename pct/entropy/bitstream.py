@@ -41,6 +41,14 @@ class SegmentBitstream:
     # sign of the num_frames field (negative = lossless) so latent-mode
     # bytes are unchanged (golden-pinned).
     geometry_mode: str = "latent"
+    # Optional color-residual stream (lossless-geometry rungs): quantized
+    # (true - predicted) colors, rANS-coded with the Gaussian-conditional
+    # tables at the shipped per-channel scale indexes. ``color_step`` is the
+    # quantization step in 1/255 units (0 = absent). Appended as a tagged
+    # tail ("CR1"), so streams without it are byte-identical to round-2.
+    color_step: int = 0
+    color_scale_idx: tuple[int, ...] = ()
+    color_string: bytes = b""
 
     @property
     def num_frames(self) -> int:
@@ -62,6 +70,11 @@ class SegmentBitstream:
         for g, (k1, k2, k3) in zip(self.gpcc_strings, self.ks):
             out += struct.pack("<iiii", len(g), k1, k2, k3)
             out += g
+        if self.color_step > 0:
+            out += b"CR1"
+            out += struct.pack("<iBBB", self.color_step, *self.color_scale_idx)
+            out += struct.pack("<i", len(self.color_string))
+            out += self.color_string
         return bytes(out)
 
     @classmethod
@@ -87,8 +100,16 @@ class SegmentBitstream:
             glen, k1, k2, k3 = take("<iiii")
             gpcc_strings.append(bytes(data[off : off + glen])); off += glen
             ks.append((k1, k2, k3))
+        color_step, color_scale_idx, color_string = 0, (), b""
+        if off + 3 <= len(data) and data[off : off + 3] == b"CR1":
+            off += 3
+            color_step, i0, i1, i2 = take("<iBBB")
+            color_scale_idx = (i0, i1, i2)
+            (clen,) = take("<i")
+            color_string = bytes(data[off : off + clen]); off += clen
         return cls(
-            q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks, mode
+            q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks, mode,
+            color_step, color_scale_idx, color_string,
         )
 
 

@@ -215,6 +215,7 @@ class SerialEncoder:
             params["entropy_bottleneck"]
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
+        self._sim_decoder = None  # lazy local decoder for residual prediction
 
     # share jit traces across instances with the same model config (self is a
     # static jit argument; id-hashing would recompile per pipeline object)
@@ -371,14 +372,62 @@ class SerialEncoder:
     # host stage: entropy + geometry coding (E3, E5, E6, E7)
     # ------------------------------------------------------------------
 
+    def _attach_color_residuals(
+        self, level: SegmentBitstream, frames: Sequence[dict], step: int
+    ) -> None:
+        """Append the color-residual stream to a lossless-geometry level.
+
+        The decoder's color prediction is DETERMINISTIC given the level
+        bytes, so the encoder reproduces it by decoding the level locally
+        and entropy-codes ``round((true - predicted) * 255 / step)`` with
+        the Gaussian-conditional tables at per-channel scale indexes
+        (shipped, 3 bytes). This pays the honest rate for the sensor color
+        noise the latent cannot carry (the attribute analog of the lossless
+        geometry rung). Same-backend prediction parity is exact; a
+        cross-backend decoder can differ by +-1 uint8 rounding step on rare
+        boundary voxels — a bounded color error, never a stream desync (the
+        residual coding indexes are position-independent)."""
+        m = self.model
+        if self._sim_decoder is None:
+            self._sim_decoder = SerialDecoder(
+                m, self.params, {"eb": self.eb_tables, "gc": self.gc_tables}
+            )
+        pred_frames, _ = self._sim_decoder.decompress(level)
+        syms = []
+        for fr, pf in zip(frames, pred_frames):
+            pts = np.asarray(fr["points"], np.int32)
+            col = np.asarray(fr["colors"], np.float32)
+            uniq, first = np.unique(pts, axis=0, return_index=True)
+            assert uniq.shape == pf["points"].shape, "prediction/frame mismatch"
+            res = (col[first] - np.asarray(pf["colors"], np.float32)) * 255.0 / step
+            syms.append(np.round(res).astype(np.int32))
+        syms = np.concatenate(syms, axis=0)  # [n1_total, 3], canonical order
+        sigma = np.maximum(syms.astype(np.float64).std(axis=0), 0.12)
+        table = m.gaussian_conditional.scale_table
+        scale_idx = tuple(int((s > table[:-1]).sum()) for s in sigma)
+        idx = np.repeat(
+            np.asarray(scale_idx, np.int32)[None, :], syms.shape[0], axis=0
+        ).ravel()
+        level.color_step = int(step)
+        level.color_scale_idx = scale_idx
+        level.color_string = m.gaussian_conditional.compress_symbols(
+            self.gc_tables, syms.ravel(), idx
+        )
+
     def host_encode(
         self, dev: dict, settings, frames: Sequence[dict] | None = None,
         geometry_mode: str = "latent", lossless_extra: bool = False,
+        lossless_color_step: int = 0,
     ) -> tuple[list[SegmentBitstream], dict]:
         """``lossless_extra`` appends one more representation that shares the
         last setting's entropy-coded latents but carries the full-resolution
         voxel set (octree coded) — the highest-quality DASH rung at the cost
-        of one extra octree encode, no extra neural work."""
+        of one extra octree encode, no extra neural work.
+
+        ``lossless_color_step`` > 0 additionally attaches an entropy-coded
+        color-residual stream to every lossless-geometry level (see
+        :meth:`_attach_color_residuals`) — exact geometry AND
+        quantization-bounded color at the cost of one local decode."""
         times: dict[str, float] = {}
         t0 = time.time()
         z_string = self.model.entropy_bottleneck.compress_symbols(
@@ -455,6 +504,12 @@ class SerialEncoder:
                     geometry_mode="lossless",
                 )
             )
+        if lossless_color_step > 0:
+            t0 = time.time()
+            for lv in levels:
+                if lv.geometry_mode == "lossless":
+                    self._attach_color_residuals(lv, frames, lossless_color_step)
+            times["gaussian_model"] += time.time() - t0
         return levels, times
 
     def compress(
@@ -463,6 +518,7 @@ class SerialEncoder:
         settings: Sequence[Sequence[float]],
         geometry_mode: str = "latent",
         lossless_extra: bool = False,
+        lossless_color_step: int = 0,
     ):
         """Returns ``(levels: list[SegmentBitstream], sideinfo: dict)``.
 
@@ -476,7 +532,9 @@ class SerialEncoder:
         t0 = time.time()
         dev = self.device_encode(frames, settings)
         t_device = time.time() - t0
-        levels, times = self.host_encode(dev, settings, frames, geometry_mode, lossless_extra)
+        levels, times = self.host_encode(
+            dev, settings, frames, geometry_mode, lossless_extra, lossless_color_step
+        )
         times.update({"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0})
 
         total_bytes = sum(lv.num_bytes() for lv in levels)
@@ -889,9 +947,22 @@ class SerialDecoder:
             )
         )
         n1 = s1.shape[0]
+        colors = colors8[:n1].astype(np.float32)
+        if level.color_step > 0:
+            # color-residual stream: quantized (true - predicted) colors in
+            # the same canonical voxel order (SerialEncoder._attach_color_residuals)
+            idx = np.repeat(
+                np.asarray(level.color_scale_idx, np.int32)[None, :], n1, axis=0
+            ).ravel()
+            res = self.model.gaussian_conditional.decompress(
+                self.gc_tables, level.color_string, idx
+            ).reshape(n1, 3)
+            colors = np.clip(
+                np.round(colors + res * float(level.color_step)), 0, 255
+            )
         frames = _split_frames(
             s1,
-            colors8[:n1].astype(np.float32) / 255.0,
+            colors / 255.0,
             np.ones(n1, bool),
             num_frames,
         )

@@ -55,6 +55,8 @@ class Encoder:
         self.settings = list(self.config.get("encoding_settings"))
         # extra top DASH rung: exact voxel set (octree) + learned colors
         self.lossless_rep = bool(self.config.get("lossless_rep", False))
+        # color-residual stream for the lossless rung (0 disables)
+        self.lossless_color_step = int(self.config.get("lossless_color_step", 12))
         self.pull = PullSocket(self.config["encoder_address"])
         self.push = PushSocket(self.config["media_server_address"])
         self.executor = ThreadPoolExecutor(max_workers=workers)
@@ -93,7 +95,8 @@ class Encoder:
                 for f in sampled
             ]
             levels, codec_info = self.pipeline.compress(
-                fr, self.settings, lossless_extra=self.lossless_rep
+                fr, self.settings, lossless_extra=self.lossless_rep,
+                lossless_color_step=self.lossless_color_step if self.lossless_rep else 0,
             )
             sideinfo.update(codec_info)
             sideinfo["timestamps"].update(codec_info.get("timestamps", {}))

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--lossless", action="store_true",
                     help="also evaluate the lossless-geometry representation")
+    ap.add_argument("--color-step", type=int, default=12,
+                    help="lossless-rung color-residual quantization step (0 disables)")
     ap.add_argument(
         "--settings",
         default="1,0;0,1;1,1;0.25,0.25;0.5,0.5",
@@ -88,12 +90,17 @@ def main():
     t_batched = time.time() - t0
     print(f"batched decode of {len(levels)} levels (warm): {t_batched:.3f}s", flush=True)
     if args.lossless:
-        # lossless-geometry representation: exact voxel set + learned colors
-        ll_levels, _ = enc.compress(frames, [settings[-1]], geometry_mode="lossless")
-        for lv in ll_levels:
-            out, _ = dec.decompress(lv)
-            levels = list(levels) + [lv]
-            all_out = list(all_out) + [out]
+        # lossless-geometry representation: exact voxel set + learned colors,
+        # both without and with the color-residual stream
+        for step in ([0, args.color_step] if args.color_step else [0]):
+            ll_levels, _ = enc.compress(
+                frames, [settings[-1]], geometry_mode="lossless",
+                lossless_color_step=step,
+            )
+            for lv in ll_levels:
+                out, _ = dec.decompress(lv)
+                levels = list(levels) + [lv]
+                all_out = list(all_out) + [out]
     rows = []
     for lv, out in zip(levels, all_out):
         # honest per-level wall time: dedicated warm decode of THIS level
@@ -131,6 +138,8 @@ def main():
 
             os.makedirs(args.render, exist_ok=True)
             tag = f"q{lv.q_g}_{lv.q_a}" + ("_lossless" if lv.geometry_mode == "lossless" else "")
+            if lv.color_step > 0:
+                tag += f"_cr{lv.color_step}"
             render_comparison(
                 os.path.join(args.render, f"cmp_{tag}.png"),
                 frames[0],

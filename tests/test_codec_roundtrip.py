@@ -338,3 +338,36 @@ def test_keep_factors_preserve_k_contract(codec, rng):
     from pct.models import UnifiedConfig
 
     assert UnifiedConfig.from_dict(d) == m2.config
+
+
+def test_lossless_color_residual_stream(codec, rng):
+    """The lossless rung's optional color-residual stream bounds color error
+    by the quantization step regardless of prediction quality (here: random
+    weights, so prediction is noise — the residuals carry everything)."""
+    enc, dec = codec
+    if enc.model.config.arch != "v1":
+        pytest.skip("lossless-geometry synthesis is v1-only")
+    frames = make_frames(rng, num_frames=2, n=400)
+    step = 8
+    levels, _ = enc.compress(
+        frames, [[1.0, 1.0]], geometry_mode="lossless", lossless_color_step=step
+    )
+    lv = levels[0]
+    assert lv.color_step == step and len(lv.color_string) > 0
+    reparsed = type(lv).unpack(lv.pack())
+    assert reparsed.color_step == step
+    assert reparsed.color_scale_idx == lv.color_scale_idx
+    out, _ = dec.decompress(reparsed)
+    for fr, orig in zip(out, frames):
+        om = {tuple(p): c for p, c in zip(orig["points"].tolist(), orig["colors"])}
+        for p, c in zip(fr["points"].tolist(), fr["colors"]):
+            err = np.abs(np.asarray(om[tuple(p)]) - c) * 255.0
+            assert (err <= step / 2 + 1.0).all(), err
+    # without residuals, random-weight colors are nowhere near the originals
+    plain, _ = enc.compress(frames, [[1.0, 1.0]], geometry_mode="lossless")
+    out0, _ = dec.decompress(plain[0])
+    errs = []
+    om = {tuple(p): c for p, c in zip(frames[0]["points"].tolist(), frames[0]["colors"])}
+    for p, c in zip(out0[0]["points"].tolist(), out0[0]["colors"]):
+        errs.append(np.abs(np.asarray(om[tuple(p)]) - c).max() * 255.0)
+    assert np.mean(errs) > step, "test premise: prediction must be poor with random weights"
