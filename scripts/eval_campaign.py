@@ -83,11 +83,15 @@ def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) ->
     from pct.pipeline.warmup import prewarm_codec
     from pct.streaming.capturer import load_recorded_frames
 
+    # recorded frames are ~14-16k points; live segments land in a narrow
+    # band of bucket tiers, so only warm those (each cold compile costs
+    # minutes on the relay rig)
     prewarm_codec(
         enc_pipe,
         dec_pipe,
         num_frames=max(fps, 1),
-        max_points=int(fps * 18_000),
+        min_points=int(fps * 13_000),
+        max_points=int(fps * 17_000),
         settings=cfg["encoding_settings"],
         lossless=bool(cfg.get("lossless_rep", False)),
         example_frames=load_recorded_frames(cfg["recording_path"])[:8],
