@@ -39,8 +39,15 @@ class SegmentBitstream:
     # set — the decoder derives the whole coordinate pyramid exactly and
     # synthesis needs no occupancy prediction. Signaled on the wire by the
     # sign of the num_frames field (negative = lossless) so latent-mode
-    # bytes are unchanged (golden-pinned).
+    # bytes are unchanged (golden-pinned). "guided": latent-mode layout
+    # plus an "OC1" tail of per-level occupancy strings — every candidate
+    # child's true occupancy bit, entropy-coded under the synthesis head's
+    # predicted probability (pct/entropy/binary.py); decoded geometry is
+    # exact, like "lossless", at the model-priced rate.
     geometry_mode: str = "latent"
+    # Guided-occupancy streams, one per synthesis level (coarse -> fine);
+    # non-empty list <=> geometry_mode == "guided".
+    occ_strings: list[bytes] = dataclasses.field(default_factory=list)
     # Optional color-residual stream (lossless-geometry rungs): quantized
     # (true - predicted) colors, rANS-coded with the Gaussian-conditional
     # tables at the shipped per-channel scale indexes. ``color_step`` is the
@@ -70,6 +77,13 @@ class SegmentBitstream:
         for g, (k1, k2, k3) in zip(self.gpcc_strings, self.ks):
             out += struct.pack("<iiii", len(g), k1, k2, k3)
             out += g
+        if self.geometry_mode == "guided":
+            assert self.occ_strings, "guided mode requires occupancy streams"
+            out += b"OC1"
+            out += struct.pack("<i", len(self.occ_strings))
+            for s in self.occ_strings:
+                out += struct.pack("<i", len(s))
+                out += s
         if self.color_step > 0:
             out += b"CR1"
             out += struct.pack("<iBBB", self.color_step, *self.color_scale_idx)
@@ -101,15 +115,28 @@ class SegmentBitstream:
             gpcc_strings.append(bytes(data[off : off + glen])); off += glen
             ks.append((k1, k2, k3))
         color_step, color_scale_idx, color_string = 0, (), b""
-        if off + 3 <= len(data) and data[off : off + 3] == b"CR1":
-            off += 3
-            color_step, i0, i1, i2 = take("<iBBB")
-            color_scale_idx = (i0, i1, i2)
-            (clen,) = take("<i")
-            color_string = bytes(data[off : off + clen]); off += clen
+        occ_strings: list[bytes] = []
+        while off + 3 <= len(data):
+            tag = data[off : off + 3]
+            if tag == b"OC1":
+                off += 3
+                (n_occ,) = take("<i")
+                for _ in range(n_occ):
+                    (slen,) = take("<i")
+                    occ_strings.append(bytes(data[off : off + slen])); off += slen
+                mode = "guided"
+            elif tag == b"CR1":
+                off += 3
+                color_step, i0, i1, i2 = take("<iBBB")
+                color_scale_idx = (i0, i1, i2)
+                (clen,) = take("<i")
+                color_string = bytes(data[off : off + clen]); off += clen
+            else:
+                break
         return cls(
             q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks, mode,
-            color_step, color_scale_idx, color_string,
+            occ_strings=occ_strings, color_step=color_step,
+            color_scale_idx=color_scale_idx, color_string=color_string,
         )
 
 

@@ -58,6 +58,28 @@ from pct.sparse.block import SparseBlock, truncate_capacity
 def kernel_offsets_cached(k: int):
     return kernel_offsets(k)
 
+
+def expand_children(x: SparseBlock) -> tuple[jax.Array, jax.Array]:
+    """All 8 child-slot candidates of every cell of ``x``, flat in
+    parent-major x tap order (the tap order of ``up_features_at``); masked
+    parents expand to PAD_COORD rows. Returns ``(coords [N*8, 4], mask)``.
+
+    This flat order is a wire contract for the guided-occupancy mode: the
+    occupancy bitstream codes candidates in exactly this enumeration."""
+    from pct.sparse.block import PAD_COORD
+
+    n = x.capacity
+    child_stride = x.stride // 2
+    offs = jnp.asarray(kernel_offsets_cached(2), jnp.int32) * jnp.int32(child_stride)
+    child_xyz = x.coords[:, None, 1:] + offs[None, :, :]
+    child_b = jnp.broadcast_to(x.coords[:, None, :1], (n, 8, 1))
+    cand_coords = jnp.concatenate([child_b, child_xyz], axis=2).reshape(n * 8, 4)
+    cand_mask = jnp.broadcast_to(x.mask[:, None], (n, 8)).reshape(n * 8)
+    cand_coords = jnp.where(
+        cand_mask[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
+    )
+    return cand_coords, cand_mask
+
 Params = Dict[str, Any]
 
 
@@ -142,6 +164,9 @@ class ColorModel:
         self.config = config or UnifiedConfig()
         self.entropy_bottleneck = EntropyBottleneck(self.config.hyper_channels)
         self.gaussian_conditional = GaussianConditional()
+        from pct.entropy.binary import BinaryConditional
+
+        self.binary_conditional = BinaryConditional()
         self.eps = self.config.eps
         from pct.ops.conv import set_compute_dtype
 
@@ -458,6 +483,19 @@ class ColorModel:
         mean = s * (phi(a) - phi(b)) / denom
         return mean - a_mag
 
+    def occ_logits(self, params: Params, x: SparseBlock, kmap, level: int) -> jax.Array:
+        """Occupancy head at synthesis level ``level``: scores the 8 child
+        slots of every cell of ``x`` (parent grid) -> logits [N, 8]. Shared
+        by :meth:`g_s` (top-k pruning) and the guided-occupancy coding mode
+        (``pct/entropy/binary.py``), where ``sigmoid(logits)`` are the
+        coding probabilities."""
+        po = params["g_s"][f"occ{level}"]
+        if self.config.occ_layers == 2:
+            h = sparse_conv(x, po["w1"], po["b1"], kmap=kmap)
+            h = h.with_feats(jax.nn.relu(h.feats))
+            return sparse_conv(h, po["w2"], po["b2"], kmap=kmap).feats
+        return sparse_conv(x, po["w"], po["b"], kmap=kmap).feats
+
     def g_s(
         self,
         params: Params,
@@ -503,21 +541,8 @@ class ColorModel:
             # score all 8 children of every parent from the parent NEIGHBORHOOD
             if kmap is None:
                 kmap = build_kmap(x, 3)
-            po = p[f"occ{i}"]
-            if self.config.occ_layers == 2:
-                h = sparse_conv(x, po["w1"], po["b1"], kmap=kmap)
-                h = h.with_feats(jax.nn.relu(h.feats))
-                logits = sparse_conv(h, po["w2"], po["b2"], kmap=kmap).feats
-            else:
-                logits = sparse_conv(x, po["w"], po["b"], kmap=kmap).feats  # [N, 8]
-            offs = jnp.asarray(kernel_offsets_cached(2), jnp.int32) * jnp.int32(child_stride)
-            child_xyz = x.coords[:, None, 1:] + offs[None, :, :]
-            child_b = jnp.broadcast_to(x.coords[:, None, :1], (n, 8, 1))
-            cand_coords = jnp.concatenate([child_b, child_xyz], axis=2).reshape(n * 8, 4)
-            cand_mask = jnp.broadcast_to(x.mask[:, None], (n, 8)).reshape(n * 8)
-            cand_coords = jnp.where(
-                cand_mask[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
-            )
+            logits = self.occ_logits(params, x, kmap, i)  # [N, 8]
+            cand_coords, cand_mask = expand_children(x)
             flat_logits = logits.reshape(n * 8)
             if return_logits:
                 aux.append((cand_coords, cand_mask, flat_logits))

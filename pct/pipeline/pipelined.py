@@ -40,11 +40,11 @@ class CompressionPipeline:
         Stage("enc-host", self._host, self.q_mid, self.q_done)
 
     def _device(self, item):
-        frames, settings, result_q, t_start, lossless_extra, color_step = item
+        frames, settings, result_q, t_start, geometry_mode, lossless_extra, color_step = item
         try:
             t0 = time.time()
             dev = self._serial.device_encode(frames, settings)
-            return (dev, settings, frames, lossless_extra, color_step, result_q, t_start, time.time() - t0)
+            return (dev, settings, frames, geometry_mode, lossless_extra, color_step, result_q, t_start, time.time() - t0)
         except Exception:  # noqa: BLE001 - forward to the blocked caller
             import traceback
 
@@ -54,11 +54,11 @@ class CompressionPipeline:
     def _host(self, item):
         if item is None:
             return None
-        dev, settings, frames, lossless_extra, color_step, result_q, t_start, t_device = item
+        dev, settings, frames, geometry_mode, lossless_extra, color_step, result_q, t_start, t_device = item
         try:
             levels, times = self._serial.host_encode(
-                dev, settings, frames, lossless_extra=lossless_extra,
-                lossless_color_step=color_step,
+                dev, settings, frames, geometry_mode=geometry_mode,
+                lossless_extra=lossless_extra, lossless_color_step=color_step,
             )
             times.update(
                 {"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0}
@@ -80,9 +80,9 @@ class CompressionPipeline:
             result_q.put(StageError(Exception("encode host stage"), traceback.format_exc()))
         return None
 
-    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]], lossless_extra: bool = False, lossless_color_step: int = 0):
+    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]], geometry_mode: str = "latent", lossless_extra: bool = False, lossless_color_step: int = 0):
         result_q = NotifyingQueue()
-        self.q_in.put((list(frames), list(settings), result_q, time.time(), lossless_extra, lossless_color_step))
+        self.q_in.put((list(frames), list(settings), result_q, time.time(), geometry_mode, lossless_extra, lossless_color_step))
         out = result_q.get()
         if isinstance(out, StageError):
             out.reraise()

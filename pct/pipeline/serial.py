@@ -166,6 +166,19 @@ def _split_frames(coords, feats, mask, num_frames):
     return out
 
 
+def _pack_occ_keys(coords: np.ndarray) -> np.ndarray:
+    """Host-side (b, x, y, z) -> uint64 set-membership keys (16 bits per
+    field, xyz biased to non-negative; b < 0xFFFF per ``_frames_to_arrays``)."""
+    c = np.asarray(coords, np.int64)
+    u = (c[:, 1:] + coords_lib.COORD_BIAS).astype(np.uint64)
+    return (
+        (c[:, 0].astype(np.uint64) << np.uint64(48))
+        | (u[:, 0] << np.uint64(32))
+        | (u[:, 1] << np.uint64(16))
+        | u[:, 2]
+    )
+
+
 def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
     if cap >= block.capacity:
         return block
@@ -215,7 +228,9 @@ class SerialEncoder:
             params["entropy_bottleneck"]
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
-        self._sim_decoder = None  # lazy local decoder for residual prediction
+        # binary occupancy tables (guided mode) are checkpoint-independent
+        self.bc_tables = model.binary_conditional.update()
+        self._sim_decoder = None  # lazy local decoder for residual/guided coding
 
     # share jit traces across instances with the same model config (self is a
     # static jit argument; id-hashing would recompile per pipeline object)
@@ -414,6 +429,58 @@ class SerialEncoder:
             self.gc_tables, syms.ravel(), idx
         )
 
+    def _attach_guided(self, level: SegmentBitstream, frames: Sequence[dict]) -> None:
+        """Attach guided-occupancy streams to a latent-layout level and flip
+        it to ``geometry_mode="guided"``.
+
+        Drives the DECODER's own jitted guided pyramid
+        (``SerialDecoder._guided_head`` / ``_guided_step`` — same graphs,
+        same static shapes) with ground-truth membership as the bit source:
+        the candidate logits the streams are coded under are bit-identical
+        to the ones the real decoder recomputes (same-backend structurally;
+        cross-backend via the 1/256 logit grid of ``pct/entropy/binary.py``).
+        Decoded geometry is therefore the exact input voxel set at every
+        level, at a rate equal to the occupancy heads' BCE."""
+        m = self.model
+        if m.config.arch != "v1":
+            raise NotImplementedError("guided geometry mode requires arch v1")
+        if self._sim_decoder is None:
+            self._sim_decoder = SerialDecoder(
+                m, self.params, {"eb": self.eb_tables, "gc": self.gc_tables}
+            )
+        dec = self._sim_decoder
+        y_block, scales, means, y_syms, q, _ = dec._latent_phase1_host(level)
+        # ground-truth occupancy key sets per synthesis level (strides 4,2,1)
+        true_keys = []
+        for lvl in range(m.config.num_levels):
+            s = 4 >> lvl
+            keys = []
+            for b, fr in enumerate(frames):
+                pts = np.unique(np.asarray(fr["points"], np.int32) // s * s, axis=0)
+                bs = np.concatenate(
+                    [np.full((pts.shape[0], 1), b, np.int32), pts], axis=1
+                )
+                keys.append(_pack_occ_keys(bs))
+            true_keys.append(np.sort(np.concatenate(keys)))
+        streams: list = [None] * m.config.num_levels
+
+        def source(lvl, n_parent, cand_c, cand_m, bins):
+            n_sym = n_parent * 8
+            cc = np.asarray(jax.device_get(cand_c))[:n_sym]
+            bits_n = np.isin(_pack_occ_keys(cc), true_keys[lvl])
+            streams[lvl] = m.binary_conditional.compress(
+                self.bc_tables,
+                bits_n.astype(np.int32),
+                np.asarray(bins)[:n_sym].astype(np.int32),
+            )
+            bits = np.zeros(int(cand_m.shape[0]), bool)
+            bits[:n_sym] = bits_n
+            return bits
+
+        dec._guided_pyramid(level, y_block, scales, means, y_syms, q, source)
+        level.geometry_mode = "guided"
+        level.occ_strings = list(streams)
+
     def host_encode(
         self, dev: dict, settings, frames: Sequence[dict] | None = None,
         geometry_mode: str = "latent", lossless_extra: bool = False,
@@ -478,11 +545,20 @@ class SerialEncoder:
                         tuple(int(ks[l, b]) for l in range(ks.shape[0]))
                         for b in range(dev["num_frames"])
                     ],
-                    geometry_mode=geometry_mode,
+                    geometry_mode="latent" if geometry_mode == "guided" else geometry_mode,
                 )
             )
             times["bitstream_writing"] += time.time() - t0
-        if lossless_extra and geometry_mode == "latent":
+        if geometry_mode == "guided":
+            # entropy-code every candidate child's true occupancy bit under
+            # the decoder's own predicted probabilities: decoded geometry
+            # becomes exact (see _attach_guided)
+            assert frames is not None, "guided geometry needs the input frames"
+            t0 = time.time()
+            for lv in levels:
+                self._attach_guided(lv, frames)
+            times["occupancy_coding"] = time.time() - t0
+        if lossless_extra and geometry_mode in ("latent", "guided"):
             assert frames is not None, "lossless_extra needs the input frames"
             t0 = time.time()
             ll_strings = [
@@ -507,7 +583,9 @@ class SerialEncoder:
         if lossless_color_step > 0:
             t0 = time.time()
             for lv in levels:
-                if lv.geometry_mode == "lossless":
+                # exact-geometry levels (lossless AND guided) support the
+                # residual stream: prediction/input voxel sets coincide
+                if lv.geometry_mode in ("lossless", "guided"):
                     self._attach_color_residuals(lv, frames, lossless_color_step)
             times["gaussian_model"] += time.time() - t0
         return levels, times
@@ -525,6 +603,14 @@ class SerialEncoder:
         ``geometry_mode="lossless"`` transmits the full-resolution voxel set
         (octree coded) instead of the stride-8 latent skeleton: decoded
         geometry is exact and synthesis evaluates at the true sets.
+
+        ``geometry_mode="guided"`` keeps the latent layout but entropy-codes
+        every candidate child's true occupancy bit under the synthesis
+        heads' predicted probabilities (see :meth:`_attach_guided`): decoded
+        geometry is exact like "lossless", at the learned-model rate instead
+        of the octree rate (the reference's top-k pruning,
+        ``receiver/decoder/codec_parallel.py:465-472``, is lossy in which
+        voxels survive — this mode removes that loss class entirely).
 
         ``time_measurements``: E2/E4 (hyper analysis/synthesis) run fused
         inside the E1 device graph and are reported as 0.0."""
@@ -566,6 +652,9 @@ class SerialDecoder:
             params["entropy_bottleneck"]
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
+        # binary occupancy tables are checkpoint-independent (64 fixed
+        # logit bins) — built locally, never shipped
+        self.bc_tables = model.binary_conditional.update()
 
     def __hash__(self):
         return hash((type(self).__name__, self.model.config))
@@ -657,15 +746,7 @@ class SerialDecoder:
 
     def _phase2_body(self, params, y_block, scales, means, y_syms, q, ks, level_capacities):
         m = self.model
-        gain = m.scale_nn(params, q)
-        sym = y_syms.astype(jnp.float32)
-        if m.config.use_offsets:
-            offs = m.get_offsets(scales * gain[None, :], jnp.abs(sym))
-            mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
-        else:  # noise-trained synthesis: plain mid-bin reconstruction
-            mag = jnp.abs(sym)
-        y_hat = jnp.sign(sym) * mag / gain[None, :] + means
-        y_hat = jnp.where(y_block.mask[:, None], y_hat, 0.0)
+        y_hat = self._dequant_y(params, y_block.mask, scales, means, y_syms, q)
         rgb = m.g_s(params, y_block.with_feats(y_hat), ks, level_capacities)
         coords16 = rgb.coords.astype(jnp.int16)
         colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
@@ -703,7 +784,7 @@ class SerialDecoder:
         # latent skeleton (they share ks/y_shape with their sibling latent
         # rungs, so the assert above cannot catch them). Route each through
         # the dedicated lossless decode and batch only the latent rungs.
-        ll_idx = [i for i, lv in enumerate(levels) if lv.geometry_mode == "lossless"]
+        ll_idx = [i for i, lv in enumerate(levels) if lv.geometry_mode != "latent"]
         if ll_idx:
             outs: list = [None] * len(levels)
             for i in ll_idx:
@@ -831,12 +912,25 @@ class SerialDecoder:
             return cap, cap
         return level_caps[-1], cap_z
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _phase2_lossless(
-        self, params, y_block, scales, means, y_syms, q, c4, m4, c2, m2, c1, m1
-    ):
-        """Dequant + synthesis at the exact (transmitted) coordinate pyramid;
-        returns only the uint8 colors — geometry is already on the host."""
+    # ------------------------------------------------------------------
+    # guided-occupancy mode: explicit child-occupancy coding
+    # ------------------------------------------------------------------
+    #
+    # Instead of top-k pruning to the transmitted k counts (lossy in WHICH
+    # voxels survive — strict-decode hit rate is the product of per-level
+    # top-k recalls), every candidate child's true occupancy bit is entropy-
+    # coded under sigmoid(occupancy-head logit) (pct/entropy/binary.py).
+    # Because the stride-8 skeleton is transmitted exactly, induction makes
+    # the decoded set equal the true set at EVERY level: hit rate 1.0, at a
+    # rate equal to the heads' BCE (what training minimizes). Same-backend
+    # parity is structural: the encoder produces the streams by driving
+    # these same jitted stage functions with ground-truth membership as the
+    # bit source (SerialEncoder._attach_guided), so both sides compute
+    # bit-identical logits; cross-backend, logits round onto a 1/256 grid
+    # before int32 binning (the gaussian.py two-mechanism scheme).
+
+    def _dequant_y(self, params, y_mask, scales, means, y_syms, q):
+        """Shared y-hat dequantization (gain + optional dead-zone offsets)."""
         m = self.model
         gain = m.scale_nn(params, q)
         sym = y_syms.astype(jnp.float32)
@@ -846,7 +940,165 @@ class SerialDecoder:
         else:  # noise-trained synthesis: plain mid-bin reconstruction
             mag = jnp.abs(sym)
         y_hat = jnp.sign(sym) * mag / gain[None, :] + means
-        y_hat = jnp.where(y_block.mask[:, None], y_hat, 0.0)
+        return jnp.where(y_mask[:, None], y_hat, 0.0)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _guided_head(self, params, y_block, scales, means, y_syms, q):
+        """y-hat dequantization + level-0 candidate logits (stride 8 -> 4).
+        The guided path pins float32: logits are parity-critical inputs to
+        the occupancy bitstream."""
+        from pct.models.unified import expand_children
+        from pct.entropy.binary import logit_bins
+        from pct.ops.conv import build_kmap, set_compute_dtype
+
+        set_compute_dtype(jnp.float32)
+        m = self.model
+        y_hat = self._dequant_y(params, y_block.mask, scales, means, y_syms, q)
+        x = y_block.with_feats(y_hat)
+        kmap = build_kmap(x, 3)
+        logits = m.occ_logits(params, x, kmap, 0).reshape(-1)
+        cand_coords, cand_mask = expand_children(x)
+        return y_hat, cand_coords, cand_mask, logit_bins(logits)
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "cap_next", "level", "stride")
+    )
+    def _guided_step(
+        self, params, p_coords, p_feats, p_mask, cand_coords, cand_mask, bits,
+        cap_next, level, stride,
+    ):
+        """Select level-``level`` children by their decoded occupancy bits,
+        materialize their features (parent premultiply gather + 27-tap conv),
+        and emit the next level's candidate logits — or, at the last level,
+        the packed [int16 coords ⧺ uint8 colors ⧺ mask] output buffer."""
+        from pct.models.unified import expand_children
+        from pct.entropy.binary import logit_bins
+        from pct.ops.conv import build_kmap, set_compute_dtype, sparse_conv, up_features_at
+        from pct.sparse.block import PAD_COORD
+
+        set_compute_dtype(jnp.float32)
+        m = self.model
+        p = params["g_s"]
+        parent = SparseBlock(coords=p_coords, feats=p_feats, mask=p_mask, stride=stride)
+        kept = cand_mask & bits
+        kc = jnp.where(
+            kept[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
+        )
+        perm = coords_lib.lex_argsort(kc, kept)
+        kc, km = kc[perm][:cap_next], kept[perm][:cap_next]
+        feats = up_features_at(parent, p[f"up{level}"]["w"], p[f"up{level}"]["b"], kc, km)
+        child = SparseBlock(coords=kc, feats=feats, mask=km, stride=stride // 2)
+        kmap = build_kmap(child, 3)
+        child = sparse_conv(child, p[f"conv{level}"]["w"], p[f"conv{level}"]["b"], kmap=kmap)
+        child = child.with_feats(jax.nn.relu(child.feats))
+        if level == m.config.num_levels - 1:
+            rgb = sparse_conv(child, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
+            coords16 = child.coords.astype(jnp.int16)
+            colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
+            return jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
+                    colors8.reshape(-1),
+                    km.astype(jnp.uint8),
+                ]
+            )
+        logits = m.occ_logits(params, child, kmap, level + 1).reshape(-1)
+        cand2, cmask2 = expand_children(child)
+        return child.coords, child.feats, child.mask, cand2, cmask2, logit_bins(logits)
+
+    def _guided_pyramid(self, level, y_block, scales, means, y_syms, q, bit_source):
+        """Drive the guided synthesis pyramid. ``bit_source(lvl, n_parent,
+        cand_coords, cand_mask, bins) -> bool [8 * parent_cap]`` supplies
+        each level's occupancy bits — rANS decode on the decoder, ground
+        -truth membership on the encoder (which also captures the streams).
+        Returns the packed last-level buffer and its static capacity."""
+        m = self.model
+        ks = np.asarray(level.ks, np.int32).T  # [L, B]
+        caps = _synth_caps(m, ks)
+        ny_cap = y_block.capacity
+        y_hat, cand_c, cand_m, bins = _loud_compile(
+            "decode.guided_head",
+            (ny_cap,),
+            lambda: self._guided_head(self.params, y_block, scales, means, y_syms, q),
+        )
+        p_coords, p_feats, p_mask = y_block.coords, y_hat, y_block.mask
+        n_parent = int(level.y_shape)
+        stride = 8
+        counts = [int(ks[l].sum()) for l in range(ks.shape[0])]
+        for lvl in range(m.config.num_levels):
+            bits = bit_source(lvl, n_parent, cand_c, cand_m, bins)
+            out = _loud_compile(
+                "decode.guided_step",
+                (lvl, cand_c.shape[0], caps[lvl]),
+                lambda: self._guided_step(
+                    self.params, p_coords, p_feats, p_mask, cand_c, cand_m,
+                    jnp.asarray(bits), caps[lvl], lvl, stride,
+                ),
+            )
+            if lvl == m.config.num_levels - 1:
+                return out, caps[lvl]
+            p_coords, p_feats, p_mask, cand_c, cand_m, bins = out
+            n_parent = counts[lvl]
+            stride //= 2
+
+    def _decompress_guided(self, level: SegmentBitstream, t_codec_start, t_read):
+        m = self.model
+        assert len(level.occ_strings) == m.config.num_levels, "missing occupancy streams"
+        y_block, scales, means, y_syms, q, times = self._latent_phase1_host(level)
+
+        t0 = time.time()
+        bc_tables = self.bc_tables
+
+        def source(lvl, n_parent, cand_c, cand_m, bins):
+            n_sym = n_parent * 8
+            idx = np.asarray(bins)[:n_sym]
+            syms = m.binary_conditional.decompress(
+                bc_tables, level.occ_strings[lvl], idx
+            )
+            bits = np.zeros(int(cand_m.shape[0]), bool)
+            bits[:n_sym] = syms.astype(bool)
+            return bits
+
+        buf, cap_out = self._guided_pyramid(
+            level, y_block, scales, means, y_syms, q, source
+        )
+        buf = np.asarray(jax.device_get(buf))
+        coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
+        colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
+        out_mask = buf[cap_out * 11 :].astype(bool)
+        coords = coords16.astype(np.int32)[out_mask]
+        colors = colors8.astype(np.float32)[out_mask]
+        if level.color_step > 0:
+            n1 = coords.shape[0]
+            idx = np.repeat(
+                np.asarray(level.color_scale_idx, np.int32)[None, :], n1, axis=0
+            ).ravel()
+            res = self.model.gaussian_conditional.decompress(
+                self.gc_tables, level.color_string, idx
+            ).reshape(n1, 3)
+            colors = np.clip(np.round(colors + res * float(level.color_step)), 0, 255)
+        frames = _split_frames(
+            coords, colors / 255.0, np.ones(coords.shape[0], bool), level.num_frames
+        )
+        t_synth = time.time() - t0
+        sideinfo = {
+            "time_measurements": {
+                "bitstream_reading": t_read,
+                **times,
+                "synthesis_transform": t_synth,
+            },
+            "timestamps": {"codec_start": t_codec_start, "codec_end": time.time()},
+        }
+        return frames, sideinfo
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _phase2_lossless(
+        self, params, y_block, scales, means, y_syms, q, c4, m4, c2, m2, c1, m1
+    ):
+        """Dequant + synthesis at the exact (transmitted) coordinate pyramid;
+        returns only the uint8 colors — geometry is already on the host."""
+        m = self.model
+        y_hat = self._dequant_y(params, y_block.mask, scales, means, y_syms, q)
         rgb = m.g_s_at(
             params,
             y_block.with_feats(y_hat),
@@ -980,17 +1232,10 @@ class SerialDecoder:
         }
         return frames, sideinfo
 
-    def decompress(self, level: SegmentBitstream | bytes):
-        t_codec_start = time.time()
-        t0 = time.time()
-        if isinstance(level, (bytes, bytearray)):
-            # one representation blob, as stored per ID{q} segment file
-            level = SegmentBitstream.unpack(bytes(level))
-        t_read = time.time() - t0
-        if level.geometry_mode == "lossless":
-            return self._decompress_lossless(level, t_codec_start, t_read)
-        num_frames = level.num_frames
-
+    def _latent_phase1_host(self, level: SegmentBitstream):
+        """Shared D2-D5 front half of a latent-layout decode: geometry ->
+        z decode -> hyper synthesis/indexes -> Gaussian symbol decode.
+        Returns ``(y_block, scales, means, y_syms [padded], q, times)``."""
         # D2 geometry decode -> batched y coords (canonical sort on device)
         t0 = time.time()
         coords = []
@@ -1046,6 +1291,28 @@ class SerialDecoder:
             [symbols, np.zeros((ny_cap - ny, symbols.shape[1]), np.int16)], axis=0
         )
         t_gaussian = time.time() - t0
+        times = {
+            "geometry_decompression": t_geometry,
+            "factorized_model": t_factorized,
+            "hyper_synthesis": t_hyper,
+            "guassian_model": t_gaussian,  # (sic) reference CSV schema
+        }
+        return y_block, scales, means, y_syms, q, times
+
+    def decompress(self, level: SegmentBitstream | bytes):
+        t_codec_start = time.time()
+        t0 = time.time()
+        if isinstance(level, (bytes, bytearray)):
+            # one representation blob, as stored per ID{q} segment file
+            level = SegmentBitstream.unpack(bytes(level))
+        t_read = time.time() - t0
+        if level.geometry_mode == "lossless":
+            return self._decompress_lossless(level, t_codec_start, t_read)
+        if level.geometry_mode == "guided":
+            return self._decompress_guided(level, t_codec_start, t_read)
+        num_frames = level.num_frames
+
+        y_block, scales, means, y_syms, q, times = self._latent_phase1_host(level)
 
         # D6 synthesis with per-frame top-k pruning
         t0 = time.time()
@@ -1055,7 +1322,7 @@ class SerialDecoder:
             jax.device_get(
                 _loud_compile(
                     "decode.phase2",
-                    (ny_cap, caps),
+                    (y_block.capacity, caps),
                     lambda: self._phase2(
                         self.params,
                         y_block,
@@ -1081,10 +1348,7 @@ class SerialDecoder:
         sideinfo = {
             "time_measurements": {
                 "bitstream_reading": t_read,
-                "geometry_decompression": t_geometry,
-                "factorized_model": t_factorized,
-                "hyper_synthesis": t_hyper,
-                "guassian_model": t_gaussian,  # (sic) reference CSV schema
+                **times,
                 "synthesis_transform": t_synth,
             },
             "timestamps": {"codec_start": t_codec_start, "codec_end": time.time()},

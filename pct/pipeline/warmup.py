@@ -104,6 +104,7 @@ def prewarm_codec(
     max_points: int = 120_000,
     settings: Sequence[Sequence[float]] | None = None,
     lossless: bool = False,
+    geometry_mode: str = "latent",
     min_points: int = 2048,
     verbose: bool = True,
     example_frames: Sequence[dict] | None = None,
@@ -130,17 +131,20 @@ def prewarm_codec(
             if bucket_size(count) != tier:
                 continue
             frames = synthetic_gop(count, num_frames, seed=tier, example_frames=example_frames)
-            levels, _ = encoder.compress(frames, settings, lossless_extra=lossless)
+            levels, _ = encoder.compress(
+                frames, settings, geometry_mode=geometry_mode, lossless_extra=lossless
+            )
             if decoder is not None:
                 # pipelined wrappers expose decompress() only; the batched
                 # multi-rate graph lives on the serial core
                 serial = getattr(decoder, "_serial", decoder)
-                latent = [lv for lv in levels if lv.geometry_mode != "lossless"]
+                latent = [lv for lv in levels if lv.geometry_mode == "latent"]
                 if latent:
                     serial.decompress_levels(latent)
                     serial.decompress(latent[-1])
                 for lv in levels:
-                    if lv.geometry_mode == "lossless":
+                    # exact-geometry rungs (lossless/guided) decode solo
+                    if lv.geometry_mode != "latent":
                         serial.decompress(lv)
         report[tier] = time.time() - t0
         if verbose:

@@ -57,6 +57,9 @@ class Encoder:
         self.lossless_rep = bool(self.config.get("lossless_rep", False))
         # color-residual stream for the lossless rung (0 disables)
         self.lossless_color_step = int(self.config.get("lossless_color_step", 12))
+        # "latent" (top-k pruned) | "guided" (occupancy bits entropy-coded
+        # under the heads' probabilities -> exact geometry on every rung)
+        self.geometry_mode = str(self.config.get("geometry_mode", "latent"))
         self.pull = PullSocket(self.config["encoder_address"])
         self.push = PushSocket(self.config["media_server_address"])
         self.executor = ThreadPoolExecutor(max_workers=workers)
@@ -94,9 +97,11 @@ class Encoder:
                 {"points": np.asarray(f["points"], np.int32), "colors": f["colors"]}
                 for f in sampled
             ]
+            exact_geo = self.lossless_rep or self.geometry_mode == "guided"
             levels, codec_info = self.pipeline.compress(
-                fr, self.settings, lossless_extra=self.lossless_rep,
-                lossless_color_step=self.lossless_color_step if self.lossless_rep else 0,
+                fr, self.settings, geometry_mode=self.geometry_mode,
+                lossless_extra=self.lossless_rep,
+                lossless_color_step=self.lossless_color_step if exact_geo else 0,
             )
             sideinfo.update(codec_info)
             sideinfo["timestamps"].update(codec_info.get("timestamps", {}))
@@ -136,6 +141,7 @@ class Encoder:
             max_points=maxp,
             settings=self.settings,
             lossless=self.lossless_rep,
+            geometry_mode=self.geometry_mode,
             example_frames=_prewarm_examples(self.config),
         )
 

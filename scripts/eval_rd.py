@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--lossless", action="store_true",
                     help="also evaluate the lossless-geometry representation")
+    ap.add_argument("--guided", action="store_true",
+                    help="also evaluate every setting in guided-occupancy "
+                         "geometry mode (exact geometry at the model rate)")
     ap.add_argument("--color-step", type=int, default=12,
                     help="lossless-rung color-residual quantization step (0 disables)")
     ap.add_argument(
@@ -89,6 +92,19 @@ def main():
     all_out, _ = dec.decompress_levels(levels)
     t_batched = time.time() - t0
     print(f"batched decode of {len(levels)} levels (warm): {t_batched:.3f}s", flush=True)
+    if args.guided:
+        # guided-occupancy mode: exact geometry on EVERY rung, occupancy
+        # bits entropy-coded under the synthesis heads (binary.py); with a
+        # color-residual stream the rung is a full near-lossless codec
+        for step in ([0, args.color_step] if args.color_step else [0]):
+            g_levels, _ = enc.compress(
+                frames, settings, geometry_mode="guided",
+                lossless_color_step=step,
+            )
+            for lv in g_levels:
+                out, _ = dec.decompress(lv)
+                levels = list(levels) + [lv]
+                all_out = list(all_out) + [out]
     if args.lossless:
         # lossless-geometry representation: exact voxel set + learned colors,
         # both without and with the color-residual stream
@@ -123,6 +139,7 @@ def main():
         row = {
             "q_g": lv.q_g,
             "q_a": lv.q_a,
+            "mode": lv.geometry_mode + (f"+cr{lv.color_step}" if lv.color_step else ""),
             "bpp": round(bpp(lv.num_bytes(), num_points), 4),
             "d1_psnr": round(float(np.mean(d1s)), 3),
             "d2_psnr": round(float(np.mean(d2s)), 3),
@@ -137,7 +154,9 @@ def main():
             from pct.eval.render import render_comparison
 
             os.makedirs(args.render, exist_ok=True)
-            tag = f"q{lv.q_g}_{lv.q_a}" + ("_lossless" if lv.geometry_mode == "lossless" else "")
+            tag = f"q{lv.q_g}_{lv.q_a}" + (
+                f"_{lv.geometry_mode}" if lv.geometry_mode != "latent" else ""
+            )
             if lv.color_step > 0:
                 tag += f"_cr{lv.color_step}"
             render_comparison(

@@ -1,0 +1,184 @@
+"""Guided-occupancy geometry mode: every candidate child's true occupancy
+bit is entropy-coded under the synthesis heads' predicted probability
+(``pct/entropy/binary.py`` + ``SerialEncoder._attach_guided``), so decoded
+geometry is the EXACT input voxel set at every level — replacing the
+reference's lossy top-k pruning (``receiver/decoder/codec_parallel.py:
+465-472``) with an explicit occupancy code at the model-priced rate."""
+
+import numpy as np
+import jax
+import pytest
+
+from pct.entropy.binary import (
+    NUM_BINS,
+    BinaryConditional,
+    bin_probabilities,
+    logit_bins,
+)
+from pct.entropy.bitstream import SegmentBitstream
+from pct.models import ColorModel, UnifiedConfig
+from pct.pipeline import SerialDecoder, SerialEncoder
+
+SMALL = UnifiedConfig(
+    channels=(8, 12, 16), latent_channels=16, hyper_channels=8, scale_nn_hidden=8,
+    occ_layers=2, occ_hidden=8,
+)
+
+
+def make_frames(rng, num_frames=2, n=700, extent=64):
+    frames = []
+    for _ in range(num_frames):
+        pts = np.unique(rng.integers(0, extent, (n, 3)).astype(np.int32), axis=0)
+        cols = rng.random((pts.shape[0], 3)).astype(np.float32)
+        frames.append({"points": pts, "colors": cols})
+    return frames
+
+
+@pytest.fixture(scope="module")
+def codec():
+    model = ColorModel(SMALL)
+    params = model.init_params(jax.random.key(0))
+    return SerialEncoder(model, params), SerialDecoder(model, params)
+
+
+# ---------------------------------------------------------------------------
+# binary coder
+# ---------------------------------------------------------------------------
+
+
+def test_binary_coder_roundtrip(rng):
+    bc = BinaryConditional()
+    tables = bc.update()
+    bits = (rng.random(5000) < 0.3).astype(np.int32)
+    bins = rng.integers(0, NUM_BINS, 5000).astype(np.int32)
+    stream = bc.compress(tables, bits, bins)
+    out = bc.decompress(tables, stream, bins)
+    np.testing.assert_array_equal(np.asarray(out, np.int32), bits)
+
+
+def test_binary_coder_rate_tracks_probability():
+    """Coding all-ones under a high-probability bin must be much cheaper
+    than under a low-probability bin (the rate IS the cross entropy)."""
+    bc = BinaryConditional()
+    tables = bc.update()
+    bits = np.ones(4000, np.int32)
+    cheap = bc.compress(tables, bits, np.full(4000, NUM_BINS - 1, np.int32))
+    dear = bc.compress(tables, bits, np.zeros(4000, np.int32))
+    assert len(cheap) * 8 < 4000 * 0.05  # ~0.0005 bits/symbol at p≈1
+    assert len(dear) > len(cheap) * 50
+
+
+def test_logit_bins_match_probabilities():
+    """Device binning and host bin centers agree: the bin of logit L has a
+    center probability within half a bin width of sigmoid(L)."""
+    logits = jax.numpy.asarray(np.linspace(-7.9, 7.9, 201, dtype=np.float32))
+    bins = np.asarray(logit_bins(logits))
+    probs = bin_probabilities()
+    sig = 1.0 / (1.0 + np.exp(-np.asarray(logits, np.float64)))
+    # monotone, in-range, and centers track the true probabilities
+    assert (np.diff(bins) >= 0).all()
+    assert bins.min() >= 0 and bins.max() < NUM_BINS
+    assert np.abs(probs[bins] - sig).max() < 0.04
+
+
+# ---------------------------------------------------------------------------
+# wire format
+# ---------------------------------------------------------------------------
+
+
+def test_bitstream_occ_tail_roundtrip():
+    lv = SegmentBitstream(
+        q_g=1.0, q_a=0.5, y_shape=4, z_shape=2,
+        y_string=b"yy", z_string=b"zz",
+        gpcc_strings=[b"g0", b"g1"], ks=[(4, 3, 2), (4, 3, 2)],
+        geometry_mode="guided", occ_strings=[b"a", b"bb", b"ccc"],
+        color_step=12, color_scale_idx=(1, 2, 3), color_string=b"rrr",
+    )
+    out = SegmentBitstream.unpack(lv.pack())
+    assert out.geometry_mode == "guided"
+    assert out.occ_strings == [b"a", b"bb", b"ccc"]
+    assert out.color_step == 12 and out.color_string == b"rrr"
+    assert out.ks == lv.ks and out.y_string == b"yy"
+
+
+def test_bitstream_guided_requires_streams():
+    lv = SegmentBitstream(
+        q_g=1.0, q_a=0.5, y_shape=4, z_shape=2,
+        y_string=b"y", z_string=b"z", gpcc_strings=[b"g"], ks=[(1, 1, 1)],
+        geometry_mode="guided",
+    )
+    with pytest.raises(AssertionError):
+        lv.pack()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_guided_roundtrip_exact_geometry(codec, rng):
+    """The defining contract: decoded voxel sets are bit-exact vs the
+    (deduped) input at an UNTRAINED model — exactness must hold for any
+    head, not just a calibrated one."""
+    enc, dec = codec
+    frames = make_frames(rng)
+    levels, _ = enc.compress(frames, [[1.0, 0.0]], geometry_mode="guided")
+    assert levels[0].geometry_mode == "guided"
+    assert len(levels[0].occ_strings) == enc.model.config.num_levels
+    out, _ = dec.decompress(levels[0].pack())
+    for fr, of in zip(frames, out):
+        want = np.unique(np.asarray(fr["points"], np.int32), axis=0)
+        np.testing.assert_array_equal(of["points"], want)
+
+
+def test_guided_color_residuals(codec, rng):
+    """Guided + color residual stream reconstructs colors to the quantizer
+    bound on the exact voxel set."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=1)
+    step = 8
+    levels, _ = enc.compress(
+        frames, [[1.0, 0.0]], geometry_mode="guided", lossless_color_step=step
+    )
+    assert levels[0].color_step == step
+    out, _ = dec.decompress(levels[0].pack())
+    fr, of = frames[0], out[0]
+    pts = np.asarray(fr["points"], np.int32)
+    uniq, first = np.unique(pts, axis=0, return_index=True)
+    np.testing.assert_array_equal(of["points"], uniq)
+    err = np.abs(fr["colors"][first] - of["colors"]) * 255.0
+    assert err.max() <= step / 2 + 1.0  # quantizer bound (+1 for uint8 rounding)
+
+
+def test_guided_multirate_and_batched_routing(codec, rng):
+    """decompress_levels must route guided rungs through the dedicated
+    decode (they share ks/y_shape with latent siblings, so the shared-
+    geometry assert cannot catch them — ADVICE round-2 class of bug)."""
+    enc, dec = codec
+    frames = make_frames(rng)
+    latent_levels, _ = enc.compress(frames, [[1.0, 0.0], [0.5, 0.5]])
+    guided_levels, _ = enc.compress(frames, [[1.0, 0.0]], geometry_mode="guided")
+    mixed = [latent_levels[0], guided_levels[0], latent_levels[1]]
+    outs, _ = dec.decompress_levels(mixed)
+    # guided rung decodes the exact set; latent rungs keep the k contract
+    for fr, of in zip(frames, outs[1]):
+        want = np.unique(np.asarray(fr["points"], np.int32), axis=0)
+        np.testing.assert_array_equal(of["points"], want)
+    for qi in (0, 2):
+        for fr, of in zip(frames, outs[qi]):
+            assert of["points"].shape[0] == np.unique(fr["points"], axis=0).shape[0]
+
+
+def test_guided_every_quality_decodes_exact(codec, rng):
+    """Occupancy streams are coded under each rung's own y-hat-conditioned
+    logits; every rung must still decode the exact set (the streams are
+    rung-specific, so a cross-rung mixup would corrupt geometry)."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=1)
+    levels, _ = enc.compress(
+        frames, [[1.0, 0.0], [0.25, 0.75]], geometry_mode="guided"
+    )
+    for lv in levels:
+        out, _ = dec.decompress(lv.pack())
+        want = np.unique(np.asarray(frames[0]["points"], np.int32), axis=0)
+        np.testing.assert_array_equal(out[0]["points"], want)
