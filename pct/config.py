@@ -28,7 +28,8 @@ DEFAULTS: dict[str, Any] = {
     # codec
     "encoding_settings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
     "lossless_rep": False,
-    "lossless_color_step": 12,  # lossless-rung color-residual quantization step (1/255 units)
+    "lossless_color_step": 12,  # exact-geometry-rung color-residual step (1/255 units); per-rung list or int
+    "geometry_mode": "latent",  # latent | guided | lossless; per-rung list or str
     # pre-compile the codec bucket ladder at service startup (warmup.py)
     "prewarm_buckets": False,
     "prewarm_max_points": 0,  # 0 -> min(max_points, frames*20k)

@@ -80,7 +80,7 @@ class CompressionPipeline:
             result_q.put(StageError(Exception("encode host stage"), traceback.format_exc()))
         return None
 
-    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]], geometry_mode: str = "latent", lossless_extra: bool = False, lossless_color_step: int = 0):
+    def compress(self, frames: Sequence[dict], settings: Sequence[Sequence[float]], geometry_mode="latent", lossless_extra: bool = False, lossless_color_step=0):
         result_q = NotifyingQueue()
         self.q_in.put((list(frames), list(settings), result_q, time.time(), geometry_mode, lossless_extra, lossless_color_step))
         out = result_q.get()

@@ -166,6 +166,16 @@ def _split_frames(coords, feats, mask, num_frames):
     return out
 
 
+def _unpack_synth_buf(buf: np.ndarray, cap_out: int):
+    """Unpack the synthesis graphs' packed uint8 output buffer
+    ``[int16 coords ⧺ uint8 colors ⧺ mask]`` -> (coords int32 [n,4],
+    colors float32 [n,3] in 0..255) at the masked rows."""
+    coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
+    colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
+    out_mask = buf[cap_out * 11 :].astype(bool)
+    return coords16.astype(np.int32)[out_mask], colors8.astype(np.float32)[out_mask], out_mask
+
+
 def _pack_occ_keys(coords: np.ndarray) -> np.ndarray:
     """Host-side (b, x, y, z) -> uint64 set-membership keys (16 bits per
     field, xyz biased to non-negative; b < 0xFFFF per ``_frames_to_arrays``)."""
@@ -388,7 +398,8 @@ class SerialEncoder:
     # ------------------------------------------------------------------
 
     def _attach_color_residuals(
-        self, level: SegmentBitstream, frames: Sequence[dict], step: int
+        self, level: SegmentBitstream, frames: Sequence[dict], step: int,
+        pred_frames: Sequence[dict] | None = None,
     ) -> None:
         """Append the color-residual stream to a lossless-geometry level.
 
@@ -403,11 +414,12 @@ class SerialEncoder:
         boundary voxels — a bounded color error, never a stream desync (the
         residual coding indexes are position-independent)."""
         m = self.model
-        if self._sim_decoder is None:
-            self._sim_decoder = SerialDecoder(
-                m, self.params, {"eb": self.eb_tables, "gc": self.gc_tables}
-            )
-        pred_frames, _ = self._sim_decoder.decompress(level)
+        if pred_frames is None:
+            if self._sim_decoder is None:
+                self._sim_decoder = SerialDecoder(
+                    m, self.params, {"eb": self.eb_tables, "gc": self.gc_tables}
+                )
+            pred_frames, _ = self._sim_decoder.decompress(level)
         syms = []
         for fr, pf in zip(frames, pred_frames):
             pts = np.asarray(fr["points"], np.int32)
@@ -477,14 +489,22 @@ class SerialEncoder:
             bits[:n_sym] = bits_n
             return bits
 
-        dec._guided_pyramid(level, y_block, scales, means, y_syms, q, source)
+        buf, cap_out = dec._guided_pyramid(
+            level, y_block, scales, means, y_syms, q, source
+        )
         level.geometry_mode = "guided"
         level.occ_strings = list(streams)
+        # the pyramid's last level IS the decoder's color prediction at the
+        # exact set — return it so a color-residual attach needn't re-decode
+        coords, colors, out_mask = _unpack_synth_buf(np.asarray(jax.device_get(buf)), cap_out)
+        return _split_frames(
+            coords, colors / 255.0, np.ones(coords.shape[0], bool), level.num_frames
+        )
 
     def host_encode(
         self, dev: dict, settings, frames: Sequence[dict] | None = None,
-        geometry_mode: str = "latent", lossless_extra: bool = False,
-        lossless_color_step: int = 0,
+        geometry_mode: "str | Sequence[str]" = "latent", lossless_extra: bool = False,
+        lossless_color_step: "int | Sequence[int]" = 0,
     ) -> tuple[list[SegmentBitstream], dict]:
         """``lossless_extra`` appends one more representation that shares the
         last setting's entropy-coded latents but carries the full-resolution
@@ -496,6 +516,23 @@ class SerialEncoder:
         :meth:`_attach_color_residuals`) — exact geometry AND
         quantization-bounded color at the cost of one local decode."""
         times: dict[str, float] = {}
+        # per-rung geometry modes / residual steps: a scalar applies to every
+        # rung (back-compat); a list configures each DASH representation
+        # independently — e.g. a mixed ladder [latent, guided, guided] with
+        # steps [0, 0, 12] spans lossy -> exact-geometry -> near-lossless
+        modes = (
+            [geometry_mode] * len(settings)
+            if isinstance(geometry_mode, str)
+            else list(geometry_mode)
+        )
+        assert len(modes) == len(settings), "one geometry mode per rung"
+        assert all(m in ("latent", "guided", "lossless") for m in modes), modes
+        steps = (
+            [lossless_color_step] * len(settings)
+            if not isinstance(lossless_color_step, (list, tuple))
+            else [int(s) for s in lossless_color_step]
+        )
+        assert len(steps) == len(settings), "one color step per rung"
         t0 = time.time()
         z_string = self.model.entropy_bottleneck.compress_symbols(
             self.eb_tables, dev["z_syms"].T
@@ -503,20 +540,23 @@ class SerialEncoder:
         times["factorized_model"] = time.time() - t0
 
         t0 = time.time()
-        gpcc_strings = []
-        if geometry_mode == "lossless":
+        latent_strings = full_strings = None
+        if any(m != "lossless" for m in modes):
+            # stride-8 latent skeleton per frame (octree coded)
+            latent_strings = []
+            yc = dev["y_coords"]
+            for b in range(dev["num_frames"]):
+                pts = yc[yc[:, 0] == b][:, 1:] // 8
+                latent_strings.append(encode_points(pts))
+        if any(m == "lossless" for m in modes) or lossless_extra:
             # full-resolution voxel set per frame (octree coded); the decoder
             # derives the entire coordinate pyramid from it and synthesis
             # runs at the exact sets (no occupancy prediction)
             assert frames is not None, "lossless geometry needs the input frames"
-            for fr in frames:
-                pts = np.unique(np.asarray(fr["points"], np.int32), axis=0)
-                gpcc_strings.append(encode_points(pts))
-        else:
-            yc = dev["y_coords"]
-            for b in range(dev["num_frames"]):
-                pts = yc[yc[:, 0] == b][:, 1:] // 8
-                gpcc_strings.append(encode_points(pts))
+            full_strings = [
+                encode_points(np.unique(np.asarray(fr["points"], np.int32), axis=0))
+                for fr in frames
+            ]
         times["geometry_compression"] = time.time() - t0
 
         gc = self.model.gaussian_conditional
@@ -540,32 +580,29 @@ class SerialEncoder:
                     z_shape=dev["nz"],
                     y_string=y_string,
                     z_string=z_string,
-                    gpcc_strings=gpcc_strings,
+                    gpcc_strings=(
+                        full_strings if modes[qi] == "lossless" else latent_strings
+                    ),
                     ks=[
                         tuple(int(ks[l, b]) for l in range(ks.shape[0]))
                         for b in range(dev["num_frames"])
                     ],
-                    geometry_mode="latent" if geometry_mode == "guided" else geometry_mode,
+                    geometry_mode="lossless" if modes[qi] == "lossless" else "latent",
                 )
             )
             times["bitstream_writing"] += time.time() - t0
-        if geometry_mode == "guided":
+        guided_preds: dict[int, list] = {}
+        if any(m == "guided" for m in modes):
             # entropy-code every candidate child's true occupancy bit under
             # the decoder's own predicted probabilities: decoded geometry
             # becomes exact (see _attach_guided)
             assert frames is not None, "guided geometry needs the input frames"
             t0 = time.time()
-            for lv in levels:
-                self._attach_guided(lv, frames)
+            for lv, m in zip(levels, modes):
+                if m == "guided":
+                    guided_preds[id(lv)] = self._attach_guided(lv, frames)
             times["occupancy_coding"] = time.time() - t0
-        if lossless_extra and geometry_mode in ("latent", "guided"):
-            assert frames is not None, "lossless_extra needs the input frames"
-            t0 = time.time()
-            ll_strings = [
-                encode_points(np.unique(np.asarray(fr["points"], np.int32), axis=0))
-                for fr in frames
-            ]
-            times["geometry_compression"] += time.time() - t0
+        if lossless_extra and modes[-1] != "lossless":
             last = levels[-1]
             levels.append(
                 SegmentBitstream(
@@ -575,18 +612,21 @@ class SerialEncoder:
                     z_shape=last.z_shape,
                     y_string=last.y_string,
                     z_string=last.z_string,
-                    gpcc_strings=ll_strings,
+                    gpcc_strings=full_strings,
                     ks=last.ks,
                     geometry_mode="lossless",
                 )
             )
-        if lossless_color_step > 0:
+            steps = steps + [steps[-1]]
+        if any(steps):
             t0 = time.time()
-            for lv in levels:
+            for lv, step in zip(levels, steps):
                 # exact-geometry levels (lossless AND guided) support the
                 # residual stream: prediction/input voxel sets coincide
-                if lv.geometry_mode in ("lossless", "guided"):
-                    self._attach_color_residuals(lv, frames, lossless_color_step)
+                if step > 0 and lv.geometry_mode in ("lossless", "guided"):
+                    self._attach_color_residuals(
+                        lv, frames, step, pred_frames=guided_preds.get(id(lv))
+                    )
             times["gaussian_model"] += time.time() - t0
         return levels, times
 
@@ -594,9 +634,9 @@ class SerialEncoder:
         self,
         frames: Sequence[dict],
         settings: Sequence[Sequence[float]],
-        geometry_mode: str = "latent",
+        geometry_mode: "str | Sequence[str]" = "latent",
         lossless_extra: bool = False,
-        lossless_color_step: int = 0,
+        lossless_color_step: "int | Sequence[int]" = 0,
     ):
         """Returns ``(levels: list[SegmentBitstream], sideinfo: dict)``.
 
@@ -1062,12 +1102,9 @@ class SerialDecoder:
         buf, cap_out = self._guided_pyramid(
             level, y_block, scales, means, y_syms, q, source
         )
-        buf = np.asarray(jax.device_get(buf))
-        coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
-        colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
-        out_mask = buf[cap_out * 11 :].astype(bool)
-        coords = coords16.astype(np.int32)[out_mask]
-        colors = colors8.astype(np.float32)[out_mask]
+        coords, colors, out_mask = _unpack_synth_buf(
+            np.asarray(jax.device_get(buf)), cap_out
+        )
         if level.color_step > 0:
             n1 = coords.shape[0]
             idx = np.repeat(

@@ -104,7 +104,7 @@ def prewarm_codec(
     max_points: int = 120_000,
     settings: Sequence[Sequence[float]] | None = None,
     lossless: bool = False,
-    geometry_mode: str = "latent",
+    geometry_mode="latent",
     min_points: int = 2048,
     verbose: bool = True,
     example_frames: Sequence[dict] | None = None,

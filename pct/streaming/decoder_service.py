@@ -132,7 +132,7 @@ class Decoder:
             max_points=maxp,
             settings=list(self.config.get("encoding_settings")),
             lossless=bool(self.config.get("lossless_rep", False)),
-            geometry_mode=str(self.config.get("geometry_mode", "latent")),
+            geometry_mode=self.config.get("geometry_mode", "latent"),
             example_frames=_prewarm_examples(self.config),
         )
 

@@ -55,11 +55,21 @@ class Encoder:
         self.settings = list(self.config.get("encoding_settings"))
         # extra top DASH rung: exact voxel set (octree) + learned colors
         self.lossless_rep = bool(self.config.get("lossless_rep", False))
-        # color-residual stream for the lossless rung (0 disables)
-        self.lossless_color_step = int(self.config.get("lossless_color_step", 12))
+        # color-residual stream for exact-geometry rungs (0 disables); a
+        # list configures each rung of encoding_settings independently
+        step_cfg = self.config.get("lossless_color_step", 12)
+        self.lossless_color_step = (
+            [int(s) for s in step_cfg] if isinstance(step_cfg, (list, tuple)) else int(step_cfg)
+        )
         # "latent" (top-k pruned) | "guided" (occupancy bits entropy-coded
-        # under the heads' probabilities -> exact geometry on every rung)
-        self.geometry_mode = str(self.config.get("geometry_mode", "latent"))
+        # under the heads' probabilities -> exact geometry) | "lossless"
+        # (octree-coded exact set); a list configures each rung — e.g.
+        # [latent, guided, guided] with steps [0, 0, 12] spans
+        # lossy -> exact-geometry -> near-lossless in one ladder
+        mode_cfg = self.config.get("geometry_mode", "latent")
+        self.geometry_mode = (
+            [str(m) for m in mode_cfg] if isinstance(mode_cfg, (list, tuple)) else str(mode_cfg)
+        )
         self.pull = PullSocket(self.config["encoder_address"])
         self.push = PushSocket(self.config["media_server_address"])
         self.executor = ThreadPoolExecutor(max_workers=workers)
@@ -97,9 +107,14 @@ class Encoder:
                 {"points": np.asarray(f["points"], np.int32), "colors": f["colors"]}
                 for f in sampled
             ]
-            exact_geo = self.lossless_rep or self.geometry_mode == "guided"
+            modes = self.geometry_mode
+            exact_geo = self.lossless_rep or (
+                "guided" in modes or "lossless" in modes
+                if isinstance(modes, list)
+                else modes in ("guided", "lossless")
+            )
             levels, codec_info = self.pipeline.compress(
-                fr, self.settings, geometry_mode=self.geometry_mode,
+                fr, self.settings, geometry_mode=modes,
                 lossless_extra=self.lossless_rep,
                 lossless_color_step=self.lossless_color_step if exact_geo else 0,
             )

@@ -169,6 +169,74 @@ def test_guided_multirate_and_batched_routing(codec, rng):
             assert of["points"].shape[0] == np.unique(fr["points"], axis=0).shape[0]
 
 
+def test_mixed_ladder_per_rung_modes(codec, rng):
+    """The demo ladder shape: per-rung geometry modes + per-rung color
+    steps in ONE compress call — [latent, guided, guided] with residuals on
+    the top rung only (configs/sender.yaml)."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=2)
+    levels, _ = enc.compress(
+        frames,
+        [[0.25, 0.25], [0.0, 1.0], [0.0, 1.0]],
+        geometry_mode=["latent", "guided", "guided"],
+        lossless_color_step=[0, 0, 8],
+    )
+    assert [lv.geometry_mode for lv in levels] == ["latent", "guided", "guided"]
+    assert [lv.color_step for lv in levels] == [0, 0, 8]
+    outs, _ = dec.decompress_levels([lv.pack() for lv in levels])
+    for qi in (1, 2):  # guided rungs decode the exact set
+        for fr, of in zip(frames, outs[qi]):
+            want = np.unique(np.asarray(fr["points"], np.int32), axis=0)
+            np.testing.assert_array_equal(of["points"], want)
+    # top rung reconstructs colors to the quantizer bound
+    for fr, of in zip(frames, outs[2]):
+        pts = np.asarray(fr["points"], np.int32)
+        _, first = np.unique(pts, axis=0, return_index=True)
+        err = np.abs(fr["colors"][first] - of["colors"]) * 255.0
+        assert err.max() <= 8 / 2 + 1.0
+    # latent rung keeps the k contract
+    for fr, of in zip(frames, outs[0]):
+        assert of["points"].shape[0] == np.unique(fr["points"], axis=0).shape[0]
+
+
+def test_mixed_ladder_with_lossless_rung(codec, rng):
+    """Per-rung 'lossless' coexists with latent/guided in one ladder.
+    lossless_extra appends the octree rung only when the ladder's top rung
+    isn't already lossless (a duplicate would carry identical geometry AND
+    identical latents — pure bandwidth waste)."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=1)
+    want = np.unique(np.asarray(frames[0]["points"], np.int32), axis=0)
+
+    # top rung already lossless: lossless_extra is a no-op
+    levels, _ = enc.compress(
+        frames,
+        [[1.0, 0.0], [0.5, 0.5]],
+        geometry_mode=["latent", "lossless"],
+        lossless_extra=True,
+        lossless_color_step=[0, 6],
+    )
+    assert [lv.geometry_mode for lv in levels] == ["latent", "lossless"]
+    assert levels[1].color_step == 6
+    out, _ = dec.decompress(levels[1].pack())
+    np.testing.assert_array_equal(out[0]["points"], want)
+
+    # lossless mid-ladder, latent on top: the extra octree rung IS appended
+    # and inherits the top rung's color step
+    levels, _ = enc.compress(
+        frames,
+        [[1.0, 0.0], [0.5, 0.5]],
+        geometry_mode=["lossless", "latent"],
+        lossless_extra=True,
+        lossless_color_step=[6, 0],
+    )
+    assert [lv.geometry_mode for lv in levels] == ["lossless", "latent", "lossless"]
+    assert levels[0].color_step == 6 and levels[2].color_step == 0
+    for lv in (levels[0], levels[2]):
+        out, _ = dec.decompress(lv.pack())
+        np.testing.assert_array_equal(out[0]["points"], want)
+
+
 def test_guided_every_quality_decodes_exact(codec, rng):
     """Occupancy streams are coded under each rung's own y-hat-conditioned
     logits; every rung must still decode the exact set (the streams are
