@@ -130,6 +130,15 @@ class UnifiedConfig:
     # clean top-k. The last entry must be 1.0. Carried in the checkpoint so
     # training and decode prune identically.
     keep_factors: tuple[float, ...] = (1.0, 1.0, 1.0)
+    # Build same-grid kernel maps through the GOP-union coordinate set
+    # (pct.ops.kernel_maps.build_self_kernel_map_gop): frames of a GOP share
+    # xyz coordinates, so the dominant merge-rank join runs once on the
+    # deduplicated union instead of per frame. Bit-identical maps (pure perf;
+    # in-graph fallback on union overflow), so encoder/decoder may disagree
+    # on this flag without breaking parity. Union capacities follow the
+    # measured per-stride GOP ratios of the recorded demo data
+    # (stride 1/2/4+: 0.70/0.54/0.45 of rows, 5-frame GOPs) plus margin.
+    gop_union_maps: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
@@ -180,6 +189,15 @@ class ColorModel:
 
     def __eq__(self, other):
         return type(other) is type(self) and other.config == self.config
+
+    def _union_frac(self, stride: int) -> float:
+        """GOP-union capacity fraction for a same-grid kernel map at
+        ``stride``: the measured per-stride union/rows ratios of 5-frame
+        recorded-demo GOPs (0.70 / 0.54 / 0.45 at stride 1 / 2 / 4+) plus
+        overflow margin. 0 disables (see ``UnifiedConfig.gop_union_maps``)."""
+        if not self.config.gop_union_maps:
+            return 0.0
+        return {1: 0.80, 2: 0.65}.get(stride, 0.55)
 
     # ------------------------------------------------------------------
     # Parameters
@@ -338,11 +356,12 @@ class ColorModel:
                 x = x.with_feats(jax.nn.relu(x.feats))
                 if level_caps is not None:
                     x = truncate_capacity(x, level_caps[i])
-                kmap = build_kmap(x, 3)
+                kmap = build_kmap(x, 3, num_frames, self._union_frac(x.stride))
                 x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 x = x.with_feats(jax.nn.relu(x.feats))
             else:
-                h = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"])
+                kmap = build_kmap(x, 3, num_frames, self._union_frac(x.stride))
+                h = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 h = h.with_feats(jax.nn.relu(h.feats))
                 x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
                 x = x.with_feats(jax.nn.relu(x.feats))
@@ -540,7 +559,7 @@ class ColorModel:
             child_stride = x.stride // 2
             # score all 8 children of every parent from the parent NEIGHBORHOOD
             if kmap is None:
-                kmap = build_kmap(x, 3)
+                kmap = build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
             logits = self.occ_logits(params, x, kmap, i)  # [N, 8]
             cand_coords, cand_mask = expand_children(x)
             flat_logits = logits.reshape(n * 8)
@@ -590,7 +609,7 @@ class ColorModel:
                 feats = premul.reshape(n * 8, -1)[perm]
                 feats = jnp.where(km[:, None], feats, 0)
                 x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
-                kmap = build_kmap(x, 3)
+                kmap = build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
                 x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 x = x.with_feats(jax.nn.relu(x.feats))
         if not v2:

@@ -84,13 +84,32 @@ def _gather_gemm(
     return jnp.where(out_mask[:, None], acc, 0)
 
 
-def build_kmap(block: SparseBlock, kernel_size: int) -> tuple[jax.Array, jax.Array]:
+def build_kmap(
+    block: SparseBlock,
+    kernel_size: int,
+    num_frames: int = 0,
+    union_frac: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
     """Kernel map of a same-coordinate conv on ``block`` — build once and pass
     to several ``sparse_conv`` calls over the same coordinate set (e.g. a
     feature conv and its occupancy head in the decoder) to skip repeated
-    sorted searches (the kernel-map-reuse north star, BASELINE.json)."""
+    sorted searches (the kernel-map-reuse north star, BASELINE.json).
+
+    With ``num_frames >= 2`` and ``union_frac > 0``, odd kernels build the
+    map through the GOP-union coordinate set
+    (:func:`pct.ops.kernel_maps.build_self_kernel_map_gop`): the merge-rank
+    join runs once on the deduplicated xyz union (capacity
+    ``union_frac * capacity``) instead of per frame — bit-identical output,
+    with an in-graph fallback to the direct join when the union overflows."""
     offs = kernel_offsets(kernel_size)
     if kernel_size % 2 == 1:
+        if num_frames >= 2 and union_frac > 0.0:
+            from pct.ops.kernel_maps import build_self_kernel_map_gop
+
+            cap_u = max(256, int(block.capacity * union_frac))
+            return build_self_kernel_map_gop(
+                block, offs, block.stride, num_frames, cap_u
+            )
         # same-grid odd kernels take the symmetric fast path: query only the
         # negative offset half and scatter the mirror hits (half the sort
         # volume of the general map build)

@@ -201,18 +201,37 @@ def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
 
 
 def _synth_caps(model: ColorModel, ks: np.ndarray) -> tuple[int, ...]:
-    """Decode-side synthesis level capacities from the transmitted k sums,
-    scaled by the checkpoint's intermediate keep factors (``ks``: [L, B])."""
+    """Decode-side synthesis level capacities (``ks``: [L, B], coarse->fine).
+
+    Static per encode tier: the transmitted fine count reconstructs the
+    encoder's post-dedup input bucket, and each coarser level reuses the
+    encoder's own ``LEVEL_CAP_FRACTIONS`` bound for the same grid — so one
+    tier compiles exactly ONE phase-2 graph family instead of one per live
+    density profile. (Round-3 campaign: live density variation walked the
+    per-level sum buckets mid-stream — e.g. warmed ``(8192, 24576, 65536)``
+    but hit ``(12288, 24576, 65536)`` — and every fresh tuple was a 2–130 s
+    relay compile on the hot path.) The ~1.3-2x padding this buys on the two
+    COARSE levels is cheap; the dominant fine level is exact either way.
+
+    If a level's actual sum exceeds the static bound (only possible when the
+    encoder itself overflowed its caps and fell back to full capacity), that
+    level falls back to the sum-bucketed cap — correct, loud, rare."""
     kf = model.config.keep_factors
-    last = ks.shape[0] - 1
-    return tuple(
-        int(
-            bucket_size(
-                int(np.ceil(float(ks[l].sum()) * (kf[l] if l < last else 1.0)))
-            )
-        )
-        for l in range(ks.shape[0])
-    )
+    nl = ks.shape[0]
+    last = nl - 1
+    tier = int(bucket_size(int(ks[last].sum())))
+    caps = []
+    for l in range(nl):
+        factor = kf[l] if l < last else 1.0
+        need = int(np.ceil(float(ks[l].sum()) * factor))
+        if tier <= SMALL_INPUT or l == last:
+            stat = tier
+        else:
+            # ks level l lives on the same grid as encoder analysis cap
+            # LEVEL_CAP_FRACTIONS[nl - 2 - l] (stride 4 -> /5.5, stride 2 -> /1.6)
+            stat = int(np.ceil(tier / LEVEL_CAP_FRACTIONS[nl - 2 - l] * factor))
+        caps.append(stat if need <= stat else int(bucket_size(need)))
+    return tuple(caps)
 
 
 def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:

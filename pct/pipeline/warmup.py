@@ -10,10 +10,12 @@ synthetic surface clouds, running both codec sides, before any live traffic.
 Together with the persistent compilation cache the cost is one-time per
 machine, not per run.
 
-Steady-state cold compiles are still possible (density profiles can shift
-per-level decode capacities); ``pct.pipeline.serial`` logs any jitted call
-that both sees a new shape key and takes >1 s, so they are loud instead of
-silent stalls (VERDICT round-2 item 3).
+Decode capacities are static per encode tier (``serial._synth_caps``), so
+warming a tier once covers every live segment that lands in it; a
+steady-state cold compile can then only come from an encoder capacity
+overflow (falls back to full capacity — loud, rare). ``pct.pipeline.serial``
+logs any jitted call that both sees a new shape key and takes >1 s, so such
+events are loud instead of silent stalls (VERDICT round-2 item 3).
 """
 
 from __future__ import annotations
@@ -122,11 +124,11 @@ def prewarm_codec(
     t_all = time.time()
     for tier in tiers:
         t0 = time.time()
-        # Two fills per tier: the decoder's phase-2 capacities bucket the
-        # per-stride occupancy SUMS, which move within a tier as the point
-        # count does — a low and a high fill warms both adjacent sum-bucket
-        # combinations. 0.78 stays above the previous tier boundary (0.75).
-        for fill in (0.78, 0.97):
+        # One fill per tier suffices: decode phase-1/2 capacities are static
+        # functions of the encode tier (serial._synth_caps derives them from
+        # the encoder's own LEVEL_CAP_FRACTIONS, not from live per-stride
+        # sums), so any fill inside the tier compiles the tier's graphs.
+        for fill in (0.9,):
             count = max(1, int(fill * tier))
             if bucket_size(count) != tier:
                 continue

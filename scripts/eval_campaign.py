@@ -83,15 +83,16 @@ def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) ->
     from pct.pipeline.warmup import prewarm_codec
     from pct.streaming.capturer import load_recorded_frames
 
-    # recorded frames are ~14-16k points; live segments land in a narrow
-    # band of bucket tiers, so only warm those (each cold compile costs
-    # minutes on the relay rig)
+    # recorded frames are 5.9k-20.6k points POST-DEDUP (median 13.7k), so a
+    # GOP of `fps` frames can land anywhere in [fps*5.9k, fps*20.6k] — warm
+    # that whole band (round-3 lesson: a narrow 13k-17k/frame band left the
+    # 49152 tier cold at 5 fps and one mid-stream compile cost 131 s)
     prewarm_codec(
         enc_pipe,
         dec_pipe,
         num_frames=max(fps, 1),
-        min_points=int(fps * 13_000),
-        max_points=int(fps * 17_000),
+        min_points=int(fps * 5_500),
+        max_points=int(fps * 21_000),
         settings=cfg["encoding_settings"],
         lossless=bool(cfg.get("lossless_rep", False)),
         example_frames=load_recorded_frames(cfg["recording_path"])[:8],
