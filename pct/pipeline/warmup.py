@@ -110,6 +110,7 @@ def prewarm_codec(
     min_points: int = 2048,
     verbose: bool = True,
     example_frames: Sequence[dict] | None = None,
+    multi_level: bool = True,
 ) -> dict:
     """Compile the full bucket ladder on both codec sides.
 
@@ -117,6 +118,13 @@ def prewarm_codec(
     (``compress(frames, settings, lossless_extra=...)`` /
     ``decompress(level)`` + ``decompress_levels(levels)``). Returns per-tier
     wall times (compile-inclusive; re-runs are cache hits).
+
+    ``multi_level=False`` skips the batched multi-rate decode graphs
+    (``decompress_levels``): the live decoder service only ever decodes the
+    client's ONE selected representation, and the large fused multi graphs
+    are the ones that can crash the v5e TPU worker at big tiers (observed at
+    tier 49152 with 3 fused levels) — warm them only for RD tooling that
+    actually batches levels (``scripts/eval_rd.py``).
     """
     settings = [list(s) for s in (settings or [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])]
     tiers = bucket_ladder(min_points, max_points)
@@ -142,7 +150,8 @@ def prewarm_codec(
                 serial = getattr(decoder, "_serial", decoder)
                 latent = [lv for lv in levels if lv.geometry_mode == "latent"]
                 if latent:
-                    serial.decompress_levels(latent)
+                    if multi_level:
+                        serial.decompress_levels(latent)
                     serial.decompress(latent[-1])
                 for lv in levels:
                     # exact-geometry rungs (lossless/guided) decode solo

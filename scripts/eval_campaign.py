@@ -95,6 +95,10 @@ def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) ->
         max_points=int(fps * 21_000),
         settings=cfg["encoding_settings"],
         lossless=bool(cfg.get("lossless_rep", False)),
+        # the decoder service decodes ONE selected representation per
+        # segment; the fused multi-rate graphs are RD-tooling-only and can
+        # crash the v5e TPU worker at big tiers
+        multi_level=False,
         example_frames=load_recorded_frames(cfg["recording_path"])[:8],
     )
 
