@@ -109,8 +109,11 @@ class GeometryModel:
         return y, jnp.stack(list(reversed(counts)), axis=0)
 
     def g_s(self, params, y_hat: SparseBlock, ks, level_capacities=None):
+        from pct.ops.kernel_maps import derive_child_self_kmap
+
         p = params["g_s"]
         x = y_hat
+        kmap = None  # parent self map: each level derives its child map from it
         for i in range(self.config.num_levels):
             n = x.capacity
             child_stride = x.stride // 2
@@ -130,12 +133,24 @@ class GeometryModel:
             km_mask = cmask & keep
             kc = jnp.where(km_mask[:, None], cand, jnp.array(PAD_COORD, jnp.int32)[None, :])
             perm = coords_lib.lex_argsort(kc, km_mask)
-            kc, km = kc[perm], km_mask[perm]
             if level_capacities is not None:
-                kc, km = kc[: level_capacities[i]], km[: level_capacities[i]]
-            feats = up_features_at(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], kc, km)
+                perm = perm[: level_capacities[i]]
+            kc, km = kc[perm], km_mask[perm]
+            # survivors' features gather at their pre-sort (parent, slot)
+            # flat index; the child kernel map derives from the parent map
+            # (octree arithmetic) — both replace merge-join searches,
+            # bit-identically (tests/test_derived_kmap.py)
+            premul = jnp.einsum(
+                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"],
+                preferred_element_type=x.feats.dtype,
+            ) + p[f"up{i}"]["b"]
+            feats = jnp.where(km[:, None], premul.reshape(n * 8, -1)[perm], 0)
+            if kmap is None:
+                kmap = build_kmap(x, 3)  # y grid only — 1/64 of the rows
+            kmap = derive_child_self_kmap(
+                kmap, perm // 8, perm % 8, kc, km, child_stride
+            )
             x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
-            kmap = build_kmap(x, 3)
             x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
             x = x.with_feats(jax.nn.relu(x.feats))
         return x

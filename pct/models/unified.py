@@ -139,6 +139,13 @@ class UnifiedConfig:
     # measured per-stride GOP ratios of the recorded demo data
     # (stride 1/2/4+: 0.70/0.54/0.45 of rows, 5-frame GOPs) plus margin.
     gop_union_maps: bool = False
+    # Derive each synthesis level's 27-tap self kernel map from the PARENT
+    # level's map (``pct.ops.kernel_maps.derive_child_self_kmap``) — octree
+    # arithmetic + gathers instead of the merge-join sort, bit-identical
+    # output (equivalence pinned in tests/test_derived_kmap.py). Deletes the
+    # dominant decode-side sort for every synthesis level except the
+    # coarsest. Off reproduces the sort-based build for A/B measurement.
+    derived_maps: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
@@ -339,37 +346,84 @@ class ColorModel:
         canonical valid-first so a static slice only drops padding). Callers
         must verify the returned counts fit the caps (the serial encoder
         falls back to uncapped on overflow)."""
-        from pct.ops.conv import build_kmap
+        from pct.ops.conv import build_kmap, down_plan
         from pct.sparse.block import truncate_capacity
 
         _set_dtype(self.config.compute_dtype)
         p = params["g_a"]
         x = block
         counts = []  # counts at stride 1, 2, 4 (before each downsample)
+        L = self.config.num_levels
+        v2 = self.config.arch == "v2"
+
+        kmaps = [None] * (L + 1)  # self map per grid (stride 2^i), [L] = y grid
+        plans = [None] * L
+        if self.config.derived_maps:
+            # The downsample pyramid depends only on coordinates: compute the
+            # whole chain of DownPlans up front, build ONE searched self map
+            # at the tiny y grid (1/64 of the rows), and derive every finer
+            # grid's map from its parent's (octree arithmetic, no sorts) —
+            # each plan's (prow, tap) is exactly the child->(parent row,
+            # slot) mapping the derivation needs. This deletes the encode
+            # side's dominant merge joins (PERF.md), bit-identically.
+            from pct.ops.kernel_maps import derive_child_self_kmap
+            from pct.sparse.block import PAD_COORD
+
+            grids = []  # (coords, mask, stride) per level, 0 = input
+            c, mk, s = block.coords, block.mask, block.stride
+            for i in range(L):
+                grids.append((c, mk, s))
+                plans[i] = down_plan(
+                    SparseBlock(coords=c, feats=c[:, :1].astype(jnp.float32), mask=mk, stride=s)
+                )
+                c, mk = plans[i].out_coords, plans[i].out_mask
+                if level_caps is not None:
+                    c, mk = c[: level_caps[i]], mk[: level_caps[i]]
+                s *= 2
+            ygrid = SparseBlock(
+                coords=c, feats=jnp.zeros((c.shape[0], 1), jnp.float32), mask=mk, stride=s
+            )
+            kmaps[L] = build_kmap(ygrid, 3, num_frames, self._union_frac(s))
+            m = kmaps[L]
+            for i in reversed(range(L)):
+                gc, gm, gs = grids[i]
+                # prow indexes the uncapped parent array; valid rows are
+                # always < the cap (the caller's overflow contract — only
+                # padding is dropped by the slice) and masked rows are
+                # clamped/dropped inside the derivation
+                m = derive_child_self_kmap(m, plans[i].prow, plans[i].tap, gc, gm, gs)
+                kmaps[i] = m
+
         last = self.config.num_levels - 1
         for i in range(self.config.num_levels):
             counts.append(counts_per_batch(x.coords[:, 0], x.mask, num_frames))
-            if self.config.arch == "v2":
+            if v2:
                 # patchify first (search-free segment-sum down), conv on the
                 # 3.5x-smaller grid — no kernel map at the input stride
-                x = sparse_conv_down(x, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
+                x = sparse_conv_down(x, p[f"down{i}"]["w"], p[f"down{i}"]["b"], plan=plans[i])
                 x = x.with_feats(jax.nn.relu(x.feats))
                 if level_caps is not None:
                     x = truncate_capacity(x, level_caps[i])
-                kmap = build_kmap(x, 3, num_frames, self._union_frac(x.stride))
+                kmap = kmaps[i + 1] if kmaps[i + 1] is not None else build_kmap(
+                    x, 3, num_frames, self._union_frac(x.stride)
+                )
                 x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 x = x.with_feats(jax.nn.relu(x.feats))
             else:
-                kmap = build_kmap(x, 3, num_frames, self._union_frac(x.stride))
+                kmap = kmaps[i] if kmaps[i] is not None else build_kmap(
+                    x, 3, num_frames, self._union_frac(x.stride)
+                )
                 h = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 h = h.with_feats(jax.nn.relu(h.feats))
-                x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"])
+                x = sparse_conv_down(h, p[f"down{i}"]["w"], p[f"down{i}"]["b"], plan=plans[i])
                 x = x.with_feats(jax.nn.relu(x.feats))
                 if level_caps is not None:
                     x = truncate_capacity(x, level_caps[i])
-        if self.config.arch == "v2":
+        if v2:
             # conv{last} and the latent projection share the stride-8 grid
             y = sparse_conv(x, p["out"]["w"], p["out"]["b"], kmap=kmap)
+        elif kmaps[L] is not None:
+            y = sparse_conv(x, p["out"]["w"], p["out"]["b"], kmap=kmaps[L])
         else:
             y = sparse_conv(x, p["out"]["w"], p["out"]["b"])
         ks = jnp.stack(list(reversed(counts)), axis=0)  # [L, B]: stride 4, 2, 1
@@ -457,13 +511,34 @@ class ColorModel:
         p = params["g_s"]
         _set_dtype(self.config.compute_dtype)
         x = y_hat
+        kmap = None  # parent self map for the derived-map chain
         for i in range(self.config.num_levels):
             coords_l, mask_l = level_blocks[i]
-            feats = up_features_at(x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], coords_l, mask_l)
-            x = SparseBlock(
-                coords=coords_l, feats=feats, mask=mask_l, stride=x.stride // 2
-            )
-            kmap = build_kmap(x, 3)
+            if self.config.derived_maps:
+                # one parent-find join per level (up_features_at needs it
+                # anyway); the 13-offset self join is derived from it
+                from pct.ops.kernel_maps import derive_child_self_kmap
+
+                if kmap is None:
+                    kmap = build_kmap(x, 3)  # y grid: 1/64 of the rows
+                feats, prow, pfound, tap = up_features_at(
+                    x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], coords_l, mask_l,
+                    return_rows=True,
+                )
+                kmap = derive_child_self_kmap(
+                    kmap, prow, tap, coords_l, mask_l, x.stride // 2, pfound
+                )
+                x = SparseBlock(
+                    coords=coords_l, feats=feats, mask=mask_l, stride=x.stride // 2
+                )
+            else:
+                feats = up_features_at(
+                    x, p[f"up{i}"]["w"], p[f"up{i}"]["b"], coords_l, mask_l
+                )
+                x = SparseBlock(
+                    coords=coords_l, feats=feats, mask=mask_l, stride=x.stride // 2
+                )
+                kmap = build_kmap(x, 3)
             x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
             x = x.with_feats(jax.nn.relu(x.feats))
         return sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
@@ -609,7 +684,17 @@ class ColorModel:
                 feats = premul.reshape(n * 8, -1)[perm]
                 feats = jnp.where(km[:, None], feats, 0)
                 x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
-                kmap = build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
+                if self.config.derived_maps:
+                    # each survivor's (parent row, slot) is its pre-sort flat
+                    # candidate index — derive the child map from the parent
+                    # map (kmap still holds it) instead of a merge-join sort
+                    from pct.ops.kernel_maps import derive_child_self_kmap
+
+                    kmap = derive_child_self_kmap(
+                        kmap, perm // 8, perm % 8, kc, km, child_stride
+                    )
+                else:
+                    kmap = build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
                 x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 x = x.with_feats(jax.nn.relu(x.feats))
         if not v2:

@@ -166,11 +166,65 @@ def downsample_coords(block: SparseBlock, factor: int = 2) -> tuple[jax.Array, j
     return coords, mask
 
 
+@dataclasses.dataclass(frozen=True)
+class DownPlan:
+    """Structure of one stride-``factor`` downsampling step, computed from
+    coordinates alone (:func:`down_plan`): reusable by ``sparse_conv_down``
+    (skips its internal sort) and by the octree-derived kernel-map chain
+    (``prow``/``tap`` are exactly the ``parent_row``/``slot`` inputs of
+    :func:`pct.ops.kernel_maps.derive_child_self_kmap`)."""
+
+    perm: jax.Array  # [n] cell-sorted position -> canonical input row
+    seg: jax.Array  # [n] output row per sorted position (masked -> n-1)
+    stap: jax.Array  # [n] kernel tap per sorted position
+    sm: jax.Array  # [n] input mask in sorted order
+    first: jax.Array  # [n] first-occurrence flags (sorted order)
+    tap: jax.Array  # [n] kernel tap / child slot per canonical input row
+    prow: jax.Array  # [n] parent (output) row per canonical input row
+    out_coords: jax.Array  # [n, 4] canonical parent coordinates
+    out_mask: jax.Array  # [n]
+
+
+def down_plan(block: SparseBlock, factor: int = 2) -> DownPlan:
+    """Compute the sort/segment structure of ``sparse_conv_down`` from the
+    block's coordinates (features unused)."""
+    n = block.capacity
+    step = jnp.int32(block.stride * factor)
+    cxyz = jnp.floor_divide(block.coords[:, 1:], step) * step
+    cell_coords = jnp.concatenate([block.coords[:, :1], cxyz], axis=1)
+    cell_coords = jnp.where(
+        block.mask[:, None], cell_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
+    )
+    tap_xyz = jnp.floor_divide(block.coords[:, 1:] - cxyz, jnp.int32(block.stride))
+    tap = (tap_xyz[:, 0] * factor + tap_xyz[:, 1]) * factor + tap_xyz[:, 2]
+    tap = jnp.clip(tap, 0, factor**3 - 1)
+
+    perm = coords_lib.lex_argsort(cell_coords, block.mask)
+    sc = cell_coords[perm]
+    sm = block.mask[perm]
+    stap = tap[perm]
+    first = coords_lib.mark_first_occurrences(sc, sm)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    seg = jnp.where(sm, seg, n - 1)
+
+    out_c = jnp.full((n, 4), jnp.array(PAD_COORD, jnp.int32)[None, :])
+    out_c = out_c.at[jnp.where(first, seg, n - 1)].set(
+        jnp.where(first[:, None], sc, out_c[0])
+    )
+    out_mask = jnp.zeros((n,), bool).at[jnp.where(first, seg, n - 1)].set(first)
+    prow = jnp.zeros((n,), jnp.int32).at[perm].set(seg)
+    return DownPlan(
+        perm=perm, seg=seg, stap=stap, sm=sm, first=first, tap=tap, prow=prow,
+        out_coords=out_c, out_mask=out_mask,
+    )
+
+
 def sparse_conv_down(
     block: SparseBlock,
     weight: jax.Array,
     bias: Optional[jax.Array] = None,
     factor: int = 2,
+    plan: Optional[DownPlan] = None,
 ) -> SparseBlock:
     """Strided downsampling conv: tensor stride ``s -> s*factor``.
 
@@ -193,24 +247,10 @@ def sparse_conv_down(
         )
 
     n = block.capacity
-    step = jnp.int32(block.stride * factor)
-    cxyz = jnp.floor_divide(block.coords[:, 1:], step) * step
-    cell_coords = jnp.concatenate([block.coords[:, :1], cxyz], axis=1)
-    cell_coords = jnp.where(
-        block.mask[:, None], cell_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
-    )
-    tap_xyz = jnp.floor_divide(block.coords[:, 1:] - cxyz, jnp.int32(block.stride))
-    tap = (tap_xyz[:, 0] * factor + tap_xyz[:, 1]) * factor + tap_xyz[:, 2]
-
-    perm = coords_lib.lex_argsort(cell_coords, block.mask)
-    sc = cell_coords[perm]
-    sm = block.mask[perm]
-    sf = block.feats[perm]
-    stap = jnp.clip(tap[perm], 0, weight.shape[0] - 1)
-
-    first = coords_lib.mark_first_occurrences(sc, sm)
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # output row per input row
-    seg = jnp.where(sm, seg, n - 1)  # masked rows -> last row (masked out below)
+    if plan is None:
+        plan = down_plan(block, factor)
+    sf = block.feats[plan.perm]
+    sm, stap, seg = plan.sm, plan.stap, plan.seg
 
     # per-row contribution: feats row x its tap's weight — as f^3 masked
     # matmuls (a per-row weight gather would materialize [N, Cin, Cout])
@@ -224,18 +264,10 @@ def sparse_conv_down(
         jnp.where(sm[:, None], contrib, 0), seg, num_segments=n
     )
 
-    out_coords = jnp.where(first[:, None], sc, jnp.array(PAD_COORD, jnp.int32)[None, :])
-    # compact: unique cells are already in sorted order; scatter them to their
-    # segment rows so row seg[i] holds cell i's coordinate
-    out_c = jnp.full((n, 4), jnp.array(PAD_COORD, jnp.int32)[None, :])
-    out_c = out_c.at[jnp.where(first, seg, n - 1)].set(
-        jnp.where(first[:, None], sc, out_c[0])
-    )
-    out_mask = jnp.zeros((n,), bool).at[jnp.where(first, seg, n - 1)].set(first)
+    out_c, out_mask = plan.out_coords, plan.out_mask
     if bias is not None:
         feats_out = feats_out + bias
     feats_out = jnp.where(out_mask[:, None], feats_out, 0)
-    out_c = jnp.where(out_mask[:, None], out_c, jnp.array(PAD_COORD, jnp.int32)[None, :])
     return SparseBlock(
         coords=out_c, feats=feats_out, mask=out_mask, stride=block.stride * factor
     )
@@ -291,13 +323,18 @@ def up_features_at(
     out_coords: jax.Array,
     out_mask: jax.Array,
     factor: int = 2,
-) -> jax.Array:
+    return_rows: bool = False,
+):
     """Generative up-conv features evaluated at given child coordinates.
 
     Each child has exactly one parent: premultiply the parent feature table
     by all ``factor^3`` tap weights, then fetch (parent, tap) rows with one
     gather. Children whose parent is absent (or masked rows) get zeros.
-    Returns ``[N_out, C_out]``.
+    Returns ``[N_out, C_out]``; with ``return_rows`` also each child's
+    ``(parent row, found, tap)`` — the inputs of
+    :func:`pct.ops.kernel_maps.derive_child_self_kmap`, so callers with
+    known coordinate pyramids (the lossless-geometry path) can derive the
+    child's self kernel map instead of merge-join searching it.
     """
     child_stride = block.stride // factor
     step = jnp.int32(block.stride)
@@ -317,7 +354,10 @@ def up_features_at(
     premul = premul.reshape(block.capacity * f3, c_out)
     premul = jnp.concatenate([premul, jnp.zeros((1, c_out), premul.dtype)], axis=0)
     flat = jnp.where(found & out_mask, idx * f3 + tap, block.capacity * f3)
-    return premul[flat]
+    out = premul[flat]
+    if return_rows:
+        return out, idx, found, tap
+    return out
 
 
 def generative_up_conv_at(

@@ -185,6 +185,86 @@ def build_self_kernel_map_gop(
     return jax.lax.cond(n_u <= cap_u, union_branch, direct_branch, None)
 
 
+def derive_child_self_kmap(
+    parent_kmap: tuple[jax.Array, jax.Array],
+    parent_row: jax.Array,
+    slot: jax.Array,
+    child_coords: jax.Array,
+    child_mask: jax.Array,
+    child_stride: int,
+    parent_found: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Derive a child grid's 27-tap self kernel map from its PARENT grid's
+    map — octree arithmetic + gathers, **no merge-join sort**.
+
+    Every child voxel ``c`` sits in slot ``s = (c/stride) & 1`` (per axis) of
+    parent ``floor(c/stride/2)``; its neighbor at offset ``d`` has parent at
+    offset ``dp = floor((g+d)/2) - floor(g/2) in {-1,0,1}^3`` (a tap of the
+    parent map) and slot ``(g+d) & 1``. So the child map is two gathers per
+    tap: the parent map entry at ``dp``, then a ``(parent row, slot) ->
+    child row`` table scattered from ``(parent_row, slot)``. Bit-identical
+    to :func:`build_self_kernel_map` on the child block whenever every
+    child's parent is a valid row of the parent map's block (true for all
+    decode paths: children are expanded from the parent set). Replaces the
+    dominant decode-side sort (PERF.md: kernel-map merge joins) for every
+    synthesis level except the coarsest.
+
+    Args:
+      parent_kmap: ``(idx [Np, 27], found [Np, 27])`` — the parent grid's
+        self map (offsets in :func:`kernel_offsets` lexicographic order,
+        built at ``offset_stride = 2 * child_stride``).
+      parent_row: int32 ``[Nc]`` — each child row's parent row index in the
+        parent block (garbage allowed on masked rows).
+      slot: int32 ``[Nc]`` in ``[0, 8)`` — child slot ``sx*4 + sy*2 + sz``
+        (the :func:`kernel_offsets(2)` enumeration used by
+        ``expand_children`` / ``up_features_at``).
+      child_coords/child_mask: the child block's padded canonical rows.
+      child_stride: the child grid's tensor stride (parent is ``2x``).
+
+    Returns ``(idx [Nc, 27] int32, found [Nc, 27] bool)`` exactly as
+    :func:`build_self_kernel_map` would.
+    """
+    p_idx, p_found = parent_kmap
+    np_cap = p_idx.shape[0]
+    nc = child_coords.shape[0]
+    k = p_idx.shape[1]
+    assert k == 27, "derivation is specific to 3^3 self kernels"
+
+    prow = jnp.clip(parent_row.astype(jnp.int32), 0, np_cap - 1)
+    slot = jnp.clip(slot.astype(jnp.int32), 0, 7)
+
+    # (parent row, slot) -> child row. Each (prow, slot) pair is unique
+    # (coordinates are deduplicated), so the scatter is collision-free.
+    # ``parent_found`` guards rows whose parent lookup failed (possible only
+    # on corrupt/inconsistent streams) from colliding with real entries.
+    valid = child_mask if parent_found is None else (child_mask & parent_found)
+    addr = jnp.where(valid, prow * 8 + slot, np_cap * 8)
+    lookup = (
+        jnp.full((np_cap * 8 + 1,), nc, jnp.int32)
+        .at[addr]
+        .set(jnp.arange(nc, dtype=jnp.int32), mode="drop")
+    )
+
+    g = jnp.floor_divide(child_coords[:, 1:], jnp.int32(child_stride))  # [Nc, 3]
+    pc = g >> 1
+    offs = jnp.asarray(kernel_offsets(3), jnp.int32)  # [27, 3]
+    p_idx_flat = p_idx.reshape(-1)
+    p_found_flat = p_found.reshape(-1)
+
+    idx_parts, found_parts = [], []
+    for t0 in range(0, k, 9):  # tap chunks bound the [Nc, 9, 3] intermediates
+        gq = g[:, None, :] + offs[None, t0 : t0 + 9, :]  # [Nc, 9, 3]
+        dp = (gq >> 1) - pc[:, None, :]
+        tp = (dp[..., 0] + 1) * 9 + (dp[..., 1] + 1) * 3 + (dp[..., 2] + 1)
+        sq = (gq[..., 0] & 1) * 4 + (gq[..., 1] & 1) * 2 + (gq[..., 2] & 1)
+        pn = p_idx_flat[(prow[:, None] * k + tp).reshape(-1)].reshape(tp.shape)
+        fn = p_found_flat[(prow[:, None] * k + tp).reshape(-1)].reshape(tp.shape)
+        j = lookup[jnp.where(fn, pn * 8 + sq, np_cap * 8).reshape(-1)].reshape(tp.shape)
+        found_parts.append(fn & (j < nc) & child_mask[:, None])
+        idx_parts.append(jnp.minimum(j, nc - 1))
+    return jnp.concatenate(idx_parts, axis=1), jnp.concatenate(found_parts, axis=1)
+
+
 def build_kernel_map(
     in_block: SparseBlock,
     out_coords: jax.Array,

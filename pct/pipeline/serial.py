@@ -1017,22 +1017,30 @@ class SerialDecoder:
         kmap = build_kmap(x, 3)
         logits = m.occ_logits(params, x, kmap, 0).reshape(-1)
         cand_coords, cand_mask = expand_children(x)
-        return y_hat, cand_coords, cand_mask, logit_bins(logits)
+        # the y-grid kernel map seeds the per-level derived-map chain
+        return y_hat, cand_coords, cand_mask, logit_bins(logits), kmap[0], kmap[1]
 
     @functools.partial(
         jax.jit, static_argnames=("self", "cap_next", "level", "stride")
     )
     def _guided_step(
-        self, params, p_coords, p_feats, p_mask, cand_coords, cand_mask, bits,
-        cap_next, level, stride,
+        self, params, p_coords, p_feats, p_mask, p_kidx, p_kfound, cand_coords,
+        cand_mask, bits, cap_next, level, stride,
     ):
         """Select level-``level`` children by their decoded occupancy bits,
         materialize their features (parent premultiply gather + 27-tap conv),
         and emit the next level's candidate logits — or, at the last level,
-        the packed [int16 coords ⧺ uint8 colors ⧺ mask] output buffer."""
+        the packed [int16 coords ⧺ uint8 colors ⧺ mask] output buffer.
+
+        ``(p_kidx, p_kfound)`` is the parent grid's kernel map: with
+        ``derived_maps`` the child map comes from octree derivation
+        (no merge-join sort) and each survivor's features gather directly at
+        its pre-sort (parent row, slot) index — both bit-identical to the
+        searched path (the logits are parity-critical coding inputs)."""
         from pct.models.unified import expand_children
         from pct.entropy.binary import logit_bins
         from pct.ops.conv import build_kmap, set_compute_dtype, sparse_conv, up_features_at
+        from pct.ops.kernel_maps import derive_child_self_kmap
         from pct.sparse.block import PAD_COORD
 
         set_compute_dtype(jnp.float32)
@@ -1043,11 +1051,26 @@ class SerialDecoder:
         kc = jnp.where(
             kept[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
         )
-        perm = coords_lib.lex_argsort(kc, kept)
-        kc, km = kc[perm][:cap_next], kept[perm][:cap_next]
-        feats = up_features_at(parent, p[f"up{level}"]["w"], p[f"up{level}"]["b"], kc, km)
+        perm = coords_lib.lex_argsort(kc, kept)[:cap_next]
+        kc, km = kc[perm], kept[perm]
+        if m.config.derived_maps:
+            premul = jnp.einsum(
+                "nc,tcd->ntd", p_feats, p[f"up{level}"]["w"],
+                preferred_element_type=p_feats.dtype,
+            ) + p[f"up{level}"]["b"]
+            feats = premul.reshape(p_feats.shape[0] * 8, -1)[perm]
+            feats = jnp.where(km[:, None], feats, 0)
+            kmap = derive_child_self_kmap(
+                (p_kidx, p_kfound), perm // 8, perm % 8, kc, km, stride // 2
+            )
+        else:
+            feats = up_features_at(
+                parent, p[f"up{level}"]["w"], p[f"up{level}"]["b"], kc, km
+            )
+            kmap = None
         child = SparseBlock(coords=kc, feats=feats, mask=km, stride=stride // 2)
-        kmap = build_kmap(child, 3)
+        if kmap is None:
+            kmap = build_kmap(child, 3)
         child = sparse_conv(child, p[f"conv{level}"]["w"], p[f"conv{level}"]["b"], kmap=kmap)
         child = child.with_feats(jax.nn.relu(child.feats))
         if level == m.config.num_levels - 1:
@@ -1063,7 +1086,10 @@ class SerialDecoder:
             )
         logits = m.occ_logits(params, child, kmap, level + 1).reshape(-1)
         cand2, cmask2 = expand_children(child)
-        return child.coords, child.feats, child.mask, cand2, cmask2, logit_bins(logits)
+        return (
+            child.coords, child.feats, child.mask, cand2, cmask2,
+            logit_bins(logits), kmap[0], kmap[1],
+        )
 
     def _guided_pyramid(self, level, y_block, scales, means, y_syms, q, bit_source):
         """Drive the guided synthesis pyramid. ``bit_source(lvl, n_parent,
@@ -1075,7 +1101,7 @@ class SerialDecoder:
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
         caps = _synth_caps(m, ks)
         ny_cap = y_block.capacity
-        y_hat, cand_c, cand_m, bins = _loud_compile(
+        y_hat, cand_c, cand_m, bins, pk_idx, pk_found = _loud_compile(
             "decode.guided_head",
             (ny_cap,),
             lambda: self._guided_head(self.params, y_block, scales, means, y_syms, q),
@@ -1090,13 +1116,13 @@ class SerialDecoder:
                 "decode.guided_step",
                 (lvl, cand_c.shape[0], caps[lvl]),
                 lambda: self._guided_step(
-                    self.params, p_coords, p_feats, p_mask, cand_c, cand_m,
-                    jnp.asarray(bits), caps[lvl], lvl, stride,
+                    self.params, p_coords, p_feats, p_mask, pk_idx, pk_found,
+                    cand_c, cand_m, jnp.asarray(bits), caps[lvl], lvl, stride,
                 ),
             )
             if lvl == m.config.num_levels - 1:
                 return out, caps[lvl]
-            p_coords, p_feats, p_mask, cand_c, cand_m, bins = out
+            p_coords, p_feats, p_mask, cand_c, cand_m, bins, pk_idx, pk_found = out
             n_parent = counts[lvl]
             stride //= 2
 
