@@ -315,6 +315,45 @@ def test_bucket_ladder_and_prewarm(codec):
     assert sum(f["points"].shape[0] for f in out) == 700
 
 
+def test_prewarm_multi_level_flag(codec):
+    """multi_level=False (live services: one selected representation per
+    segment) must skip the fused multi-rate decode graphs but still warm the
+    single-level decode path."""
+    from pct.pipeline.serial import SerialDecoder
+    from pct.pipeline.warmup import prewarm_codec
+
+    enc, dec = codec
+    calls = {"multi": 0, "single": 0}
+    orig_multi = SerialDecoder.decompress_levels
+    orig_single = SerialDecoder.decompress
+
+    def spy_multi(self, levels, *a, **k):
+        calls["multi"] += 1
+        return orig_multi(self, levels, *a, **k)
+
+    def spy_single(self, level, *a, **k):
+        calls["single"] += 1
+        return orig_single(self, level, *a, **k)
+
+    SerialDecoder.decompress_levels = spy_multi
+    SerialDecoder.decompress = spy_single
+    try:
+        prewarm_codec(
+            enc, dec, num_frames=1, max_points=600, min_points=256,
+            settings=[[1.0, 1.0], [0.5, 0.5]], verbose=False, multi_level=False,
+        )
+        assert calls["multi"] == 0, "multi_level=False must skip fused graphs"
+        assert calls["single"] > 0, "single-level decode must still prewarm"
+        prewarm_codec(
+            enc, dec, num_frames=1, max_points=600, min_points=256,
+            settings=[[1.0, 1.0], [0.5, 0.5]], verbose=False,
+        )
+        assert calls["multi"] > 0, "default must warm the fused graphs"
+    finally:
+        SerialDecoder.decompress_levels = orig_multi
+        SerialDecoder.decompress = orig_single
+
+
 def test_keep_factors_preserve_k_contract(codec, rng):
     """Over-provisioned intermediate pruning (keep_factors > 1) changes only
     internal survivor sets: the decoded per-frame point count still equals
