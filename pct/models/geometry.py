@@ -129,13 +129,20 @@ class GeometryModel:
             cand = jnp.concatenate([child_b, child_xyz], axis=2).reshape(n * 8, 4)
             cmask = jnp.broadcast_to(x.mask[:, None], (n, 8)).reshape(n * 8)
             cand = jnp.where(cmask[:, None], cand, jnp.array(PAD_COORD, jnp.int32)[None, :])
-            keep = topk_per_batch_mask(cand[:, 0], logits.reshape(-1), cmask, ks[i])
-            km_mask = cmask & keep
-            kc = jnp.where(km_mask[:, None], cand, jnp.array(PAD_COORD, jnp.int32)[None, :])
-            perm = coords_lib.lex_argsort(kc, km_mask)
-            if level_capacities is not None:
-                perm = perm[: level_capacities[i]]
-            kc, km = kc[perm], km_mask[perm]
+            # one-sort select+compact (see ColorModel.g_s): internal levels
+            # stay in (batch, rank) order; the final level canonicalizes
+            from pct.ops.topk import topk_compact
+
+            cap_i = (
+                level_capacities[i] if level_capacities is not None else n * 8
+            )
+            perm, km = topk_compact(cand[:, 0], logits.reshape(-1), cmask, ks[i], cap_i)
+            kc = jnp.where(
+                km[:, None], cand[perm], jnp.array(PAD_COORD, jnp.int32)[None, :]
+            )
+            if i == self.config.num_levels - 1:
+                order = coords_lib.lex_argsort(kc, km)
+                kc, km, perm = kc[order], km[order], perm[order]
             # survivors' features gather at their pre-sort (parent, slot)
             # flat index; the child kernel map derives from the parent map
             # (octree arithmetic) — both replace merge-join searches,

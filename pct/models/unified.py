@@ -646,16 +646,25 @@ class ColorModel:
                 if kf == 1.0
                 else jnp.round(ks[i].astype(jnp.float32) * kf).astype(jnp.int32)
             )
-            keep = topk_per_batch_mask(cand_coords[:, 0], flat_logits, cand_mask, k_eff)
+            # select + compact in ONE sort (the top-k's own): survivors land
+            # in (batch, score-rank) order. Internal levels never need
+            # canonical order (derived kmaps and convs are order-free); only
+            # the final level's order is observable (packed output,
+            # color-residual addressing) and re-sorts over cap rows instead
+            # of the 8x candidate set — deletes 2 of 3 full-size per-level
+            # sorts and shrinks the third 8x.
+            from pct.ops.topk import topk_compact
 
-            # compact survivors into canonical order (coords only — no feats yet)
-            kept_mask = cand_mask & keep
-            kc = jnp.where(kept_mask[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :])
-            perm = coords_lib.lex_argsort(kc, kept_mask)
-            kc, km = kc[perm], kept_mask[perm]
-            if level_capacities is not None:
-                cap = level_capacities[i]
-                kc, km, perm = kc[:cap], km[:cap], perm[:cap]
+            cap_i = level_capacities[i] if level_capacities is not None else n * 8
+            perm, km = topk_compact(
+                cand_coords[:, 0], flat_logits, cand_mask, k_eff, cap_i
+            )
+            kc = jnp.where(
+                km[:, None], cand_coords[perm], jnp.array(PAD_COORD, jnp.int32)[None, :]
+            )
+            if i == last:
+                order = coords_lib.lex_argsort(kc, km)
+                kc, km, perm = kc[order], km[order], perm[order]
 
             # features for survivors: the candidates were expanded from x's own
             # rows, so each survivor's (parent, tap) is its pre-sort flat index
@@ -671,6 +680,13 @@ class ColorModel:
                 # builds a kernel map. Cross-cell context comes from the
                 # coarser levels' 27-tap convs.
                 c_up = premul.shape[-1]
+                # full keep mask over the 8x candidates (collision-free: perm
+                # entries are unique among valid rows)
+                kept_mask = (
+                    jnp.zeros((n * 8 + 1,), bool)
+                    .at[jnp.where(km, perm, n * 8)]
+                    .set(True)[: n * 8]
+                )
                 fam_in = jnp.where(
                     kept_mask.reshape(n, 8)[..., None], premul, 0
                 ).reshape(n, 8 * c_up)
