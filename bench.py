@@ -48,7 +48,39 @@ def load_frames(n=5):
     return frames
 
 
+def _tunnel_alive() -> bool:
+    """The axon TPU relay tunnel listens on localhost ports; a dead tunnel
+    makes jax backend init hang FOREVER (observed round 3: the tunnel
+    process died after a long campaign and `jax.devices()` blocked 20+ min).
+    Fail fast with a diagnosis instead."""
+    import os
+    import socket
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS") is None:
+        return True  # not the relay rig (real chip or cpu) — let jax decide
+    for port in (8082, 8083, 8087):
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
 def main():
+    if not _tunnel_alive():
+        log(
+            "FATAL: TPU relay tunnel is down (no listener on the axon relay "
+            "ports); jax init would hang. Not falling back to CPU — a CPU "
+            "number would misrepresent chip throughput. Restore the relay "
+            "and re-run."
+        )
+        sys.exit(3)
+
     import jax
 
     # Persistent compile cache: the TPU relay serializes remote compiles at

@@ -472,8 +472,22 @@ class ColorModel:
         # synthesis to float32 regardless of the feature-path compute dtype.
         _set_dtype(jnp.float32)
         p = params["h_s"]
-        h = generative_conv_up(z, p["up0"]["w"], p["up0"]["b"])
-        h = sparse_conv(h, p["conv0"]["w"], p["conv0"]["b"])
+        if self.config.derived_maps:
+            # conv0's self map derives from the tiny z-grid map instead of a
+            # merge join over the 8x-larger stride-16 expansion
+            from pct.ops.conv import build_kmap
+            from pct.ops.kernel_maps import derive_child_self_kmap
+
+            h, prow, slot = generative_conv_up(
+                z, p["up0"]["w"], p["up0"]["b"], return_rows=True
+            )
+            kmap0 = derive_child_self_kmap(
+                build_kmap(z, 3), prow, slot, h.coords, h.mask, h.stride
+            )
+            h = sparse_conv(h, p["conv0"]["w"], p["conv0"]["b"], kmap=kmap0)
+        else:
+            h = generative_conv_up(z, p["up0"]["w"], p["up0"]["b"])
+            h = sparse_conv(h, p["conv0"]["w"], p["conv0"]["b"])
         h = h.with_feats(jax.nn.relu(h.feats))
         gp = generative_up_conv_at(
             h,

@@ -278,13 +278,19 @@ def generative_conv_up(
     weight: jax.Array,
     bias: Optional[jax.Array] = None,
     factor: int = 2,
-) -> SparseBlock:
+    return_rows: bool = False,
+):
     """Generative transposed conv: stride ``s -> s/factor``, every voxel expands
     to its ``factor^3`` children.
 
     ``weight``: ``[factor^3, C_in, C_out]``. Children of distinct parents are
     distinct (kernel == stride), so this is one batched GEMM + reshape;
     output capacity is ``factor^3 * N``. Output is returned in canonical order.
+    With ``return_rows`` also returns each output row's ``(parent row, slot)``
+    — the inputs of :func:`pct.ops.kernel_maps.derive_child_self_kmap`, so a
+    following same-grid conv can derive its kernel map from the parent
+    grid's instead of merge-join searching the ``factor^3``-times-larger
+    child grid.
     """
     assert block.stride % factor == 0, "stride not divisible by upsample factor"
     child_stride = block.stride // factor
@@ -308,12 +314,15 @@ def generative_conv_up(
     )
     feats = jnp.where(child_mask[:, None], feats, 0)
     perm = coords_lib.lex_argsort(child_coords, child_mask)
-    return SparseBlock(
+    out = SparseBlock(
         coords=child_coords[perm],
         feats=feats[perm],
         mask=child_mask[perm],
         stride=child_stride,
     )
+    if return_rows:
+        return out, perm // f3, perm % f3
+    return out
 
 
 def up_features_at(
