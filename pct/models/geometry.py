@@ -144,14 +144,15 @@ class GeometryModel:
                 order = coords_lib.lex_argsort(kc, km)
                 kc, km, perm = kc[order], km[order], perm[order]
             # survivors' features gather at their pre-sort (parent, slot)
-            # flat index; the child kernel map derives from the parent map
-            # (octree arithmetic) — both replace merge-join searches,
-            # bit-identically (tests/test_derived_kmap.py)
-            premul = jnp.einsum(
-                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"],
-                preferred_element_type=x.feats.dtype,
-            ) + p[f"up{i}"]["b"]
-            feats = jnp.where(km[:, None], premul.reshape(n * 8, -1)[perm], 0)
+            # flat index (shared parity-critical definition); the child
+            # kernel map derives from the parent map (octree arithmetic) —
+            # both replace merge-join searches, bit-identically
+            # (tests/test_derived_kmap.py)
+            from pct.ops.conv import up_features_compact
+
+            feats = up_features_compact(
+                x.feats, p[f"up{i}"]["w"], p[f"up{i}"]["b"], perm, km
+            )
             if kmap is None:
                 kmap = build_kmap(x, 3)  # y grid only — 1/64 of the rows
             kmap = derive_child_self_kmap(

@@ -144,7 +144,11 @@ class UnifiedConfig:
     # arithmetic + gathers instead of the merge-join sort, bit-identical
     # output (equivalence pinned in tests/test_derived_kmap.py). Deletes the
     # dominant decode-side sort for every synthesis level except the
-    # coarsest. Off reproduces the sort-based build for A/B measurement.
+    # coarsest. Off reproduces the SEARCHED MAP BUILD for A/B perf
+    # measurement only — it does not restore pre-round-3 candidate
+    # enumeration order (the one-sort select+compact is unconditional), so
+    # exact-float-tie top-k picks may differ from builds before commit
+    # b9cc5ae; within one build, encoder and decoder are always consistent.
     derived_maps: bool = True
 
     @classmethod
@@ -680,14 +684,11 @@ class ColorModel:
                 order = coords_lib.lex_argsort(kc, km)
                 kc, km, perm = kc[order], km[order], perm[order]
 
-            # features for survivors: the candidates were expanded from x's own
-            # rows, so each survivor's (parent, tap) is its pre-sort flat index
-            # — carry it through the sort instead of re-searching coordinates
-            # (a unique-index gather; TPU serializes on duplicate addresses)
-            premul = jnp.einsum(
-                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"], preferred_element_type=x.feats.dtype
-            ) + p[f"up{i}"]["b"]
             if v2 and i == last:
+                premul = jnp.einsum(
+                    "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"],
+                    preferred_element_type=x.feats.dtype,
+                ) + p[f"up{i}"]["b"]
                 # family MLP: mix the 8 sibling slots of each parent cell with
                 # one dense GEMM in parent-major order (masked to survivors),
                 # then gather each survivor's slot — the stride-1 grid never
@@ -711,8 +712,14 @@ class ColorModel:
                 rgbf = jnp.where(km[:, None], rgbf, 0)
                 rgb = SparseBlock(coords=kc, feats=rgbf, mask=km, stride=child_stride)
             else:
-                feats = premul.reshape(n * 8, -1)[perm]
-                feats = jnp.where(km[:, None], feats, 0)
+                # survivor features: ONE shared parity-critical definition
+                # (pct.ops.conv.up_features_compact) — also used by the
+                # guided pyramid and the geometry model
+                from pct.ops.conv import up_features_compact
+
+                feats = up_features_compact(
+                    x.feats, p[f"up{i}"]["w"], p[f"up{i}"]["b"], perm, km
+                )
                 x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
                 if self.config.derived_maps:
                     # each survivor's (parent row, slot) is its pre-sort flat

@@ -369,6 +369,34 @@ def up_features_at(
     return out
 
 
+def up_features_compact(
+    parent_feats: jax.Array,
+    up_weight: jax.Array,
+    up_bias: Optional[jax.Array],
+    perm: jax.Array,
+    keep: jax.Array,
+) -> jax.Array:
+    """Generative up-conv features for survivor rows selected OUT OF a
+    parent expansion: premultiply every parent row by all ``f^3`` tap
+    weights and gather each survivor's pre-sort flat candidate index
+    ``perm`` (``parent_row * f^3 + slot``); rows with ``keep`` false are
+    zeroed. Bit-identical to :func:`up_features_at` evaluated at the same
+    rows (every candidate's parent is its own expansion source), minus its
+    parent-find join. This is the ONE definition of the parity-critical
+    survivor-feature gather — the decoder g_s, the guided pyramid, and the
+    geometry model all call it (the guided logits feed entropy coding, so
+    the paths must stay bit-identical to each other forever).
+    """
+    premul = jnp.einsum(
+        "nc,tcd->ntd", parent_feats, up_weight,
+        preferred_element_type=parent_feats.dtype,
+    )
+    if up_bias is not None:
+        premul = premul + up_bias
+    out = premul.reshape(parent_feats.shape[0] * up_weight.shape[0], -1)[perm]
+    return jnp.where(keep[:, None], out, 0)
+
+
 def generative_up_conv_at(
     block: SparseBlock,
     up_weight: jax.Array,

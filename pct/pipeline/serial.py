@@ -1054,12 +1054,11 @@ class SerialDecoder:
         perm = coords_lib.lex_argsort(kc, kept)[:cap_next]
         kc, km = kc[perm], kept[perm]
         if m.config.derived_maps:
-            premul = jnp.einsum(
-                "nc,tcd->ntd", p_feats, p[f"up{level}"]["w"],
-                preferred_element_type=p_feats.dtype,
-            ) + p[f"up{level}"]["b"]
-            feats = premul.reshape(p_feats.shape[0] * 8, -1)[perm]
-            feats = jnp.where(km[:, None], feats, 0)
+            from pct.ops.conv import up_features_compact
+
+            feats = up_features_compact(
+                p_feats, p[f"up{level}"]["w"], p[f"up{level}"]["b"], perm, km
+            )
             kmap = derive_child_self_kmap(
                 (p_kidx, p_kfound), perm // 8, perm % 8, kc, km, stride // 2
             )

@@ -133,6 +133,10 @@ class Decoder:
             settings=list(self.config.get("encoding_settings")),
             lossless=bool(self.config.get("lossless_rep", False)),
             geometry_mode=self.config.get("geometry_mode", "latent"),
+            # the service decodes ONE selected representation per segment;
+            # the fused multi-rate graphs are RD-tooling-only and can crash
+            # the v5e TPU worker at big tiers
+            multi_level=False,
             example_frames=_prewarm_examples(self.config),
         )
 

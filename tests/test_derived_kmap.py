@@ -107,9 +107,12 @@ def test_negative_coordinates_floor_semantics():
     )
 
 
-def test_decode_bit_parity_on_off():
-    """End-to-end: SerialEncoder/SerialDecoder outputs (latent, guided and
-    lossless rungs) are bit-identical with derived_maps on and off."""
+@pytest.mark.parametrize("arch", ["v1", "v2"])
+def test_decode_bit_parity_on_off(arch):
+    """End-to-end: SerialEncoder/SerialDecoder outputs are bit-identical
+    with derived_maps on and off — for BOTH arch variants (v2's derived
+    branches are distinct: the g_a patchify-first plan chain and the g_s
+    family-MLP kept-mask reconstruction)."""
     from pct.pipeline.serial import SerialDecoder, SerialEncoder
 
     rng = np.random.default_rng(3)
@@ -121,12 +124,16 @@ def test_decode_bit_parity_on_off():
         )
     from pct.models.unified import UnifiedConfig
 
-    cfg = UnifiedConfig(channels=(8, 16, 16), latent_channels=16, hyper_channels=8)
+    cfg = UnifiedConfig(
+        channels=(8, 16, 16), latent_channels=16, hyper_channels=8, arch=arch
+    )
     model_on = ColorModel(dataclasses.replace(cfg, derived_maps=True))
     model_off = ColorModel(dataclasses.replace(cfg, derived_maps=False))
     params = model_on.init_params(jax.random.key(0))
 
-    for mode in ("latent", "guided", "lossless"):
+    # v2 has no lossless-geometry synthesis path (g_s_at is v1-only)
+    modes = ("latent", "guided", "lossless") if arch == "v1" else ("latent",)
+    for mode in modes:
         enc_on = SerialEncoder(model_on, params)
         enc_off = SerialEncoder(model_off, params)
         lv_on, _ = enc_on.compress(frames, [[0.5, 0.5]], geometry_mode=mode)
