@@ -681,6 +681,13 @@ class ColorModel:
                 km[:, None], cand_coords[perm], jnp.array(PAD_COORD, jnp.int32)[None, :]
             )
             if i == last:
+                # the final level's order is observable (packed output,
+                # color-residual addressing): canonicalize once, over cap
+                # rows instead of the 8x candidate set. Intermediate levels
+                # stay in candidate-index order in BOTH map variants — the
+                # enumeration order is tie-break-relevant for top-k, so the
+                # variants must share it to stay bit-identical
+                # (test_derived_kmap.py::test_dense_cloud_parity_on_off).
                 order = coords_lib.lex_argsort(kc, km)
                 kc, km, perm = kc[order], km[order], perm[order]
 
@@ -731,7 +738,17 @@ class ColorModel:
                         kmap, perm // 8, perm % 8, kc, km, child_stride
                     )
                 else:
-                    kmap = build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
+                    # searched A/B fallback: rows are in candidate-index
+                    # order (not sorted) at intermediate levels — build on a
+                    # sorted view and remap (dense clouds interleave, so a
+                    # direct sorted-search here would silently miss)
+                    from pct.ops.conv import build_kmap_unsorted
+
+                    kmap = (
+                        build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
+                        if i == last
+                        else build_kmap_unsorted(x, 3)
+                    )
                 x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
                 x = x.with_feats(jax.nn.relu(x.feats))
         if not v2:

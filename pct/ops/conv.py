@@ -369,6 +369,30 @@ def up_features_at(
     return out
 
 
+def build_kmap_unsorted(
+    block: SparseBlock,
+    kernel_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Self kernel map of a block whose rows are NOT canonically sorted
+    (e.g. the survivor grids of the one-sort select+compact, which stay in
+    candidate-index order): sort a coordinate view internally, run the
+    sorted-search build, and remap both the row axis and the index values
+    back through the permutation. Output rows/indices refer to the block's
+    OWN order, exactly as :func:`build_kmap` on a sorted block would."""
+    order = coords_lib.lex_argsort(block.coords, block.mask)
+    sorted_block = SparseBlock(
+        coords=block.coords[order],
+        feats=block.feats[:, :1][order],
+        mask=block.mask[order],
+        stride=block.stride,
+    )
+    idx_s, found_s = build_kmap(sorted_block, kernel_size)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+    return order[idx_s][inv], found_s[inv]
+
+
 def up_features_compact(
     parent_feats: jax.Array,
     up_weight: jax.Array,

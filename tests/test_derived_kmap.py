@@ -107,6 +107,29 @@ def test_negative_coordinates_floor_semantics():
     )
 
 
+def test_dense_cloud_parity_on_off():
+    """DENSE clouds: children of neighboring parents interleave in lex
+    order, so candidate-index order is NOT sorted — the searched-map
+    fallback must re-canonicalize before its merge join (regression: the
+    one-sort select+compact silently fed unsorted rows to the binary
+    search; sparse test data happened to stay sorted and missed it)."""
+    from pct.models.unified import UnifiedConfig
+    from pct.pipeline.serial import SerialDecoder, SerialEncoder
+
+    rng = np.random.default_rng(9)
+    pts = np.unique(rng.integers(-8, 9, (3000, 3)).astype(np.int32), axis=0)  # dense box
+    frames = [{"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)}]
+    cfg = UnifiedConfig(channels=(8, 16, 16), latent_channels=16, hyper_channels=8)
+    model_on = ColorModel(dataclasses.replace(cfg, derived_maps=True))
+    model_off = ColorModel(dataclasses.replace(cfg, derived_maps=False))
+    params = model_on.init_params(jax.random.key(0))
+    lv, _ = SerialEncoder(model_on, params).compress(frames, [[0.5, 0.5]])
+    out_on, _ = SerialDecoder(model_on, params).decompress(lv[-1])
+    out_off, _ = SerialDecoder(model_off, params).decompress(lv[-1])
+    assert np.array_equal(out_on[0]["points"], out_off[0]["points"])
+    assert np.array_equal(out_on[0]["colors"], out_off[0]["colors"])
+
+
 @pytest.mark.parametrize("arch", ["v1", "v2"])
 def test_decode_bit_parity_on_off(arch):
     """End-to-end: SerialEncoder/SerialDecoder outputs are bit-identical
