@@ -100,6 +100,37 @@ def test_down_plan_prow_tap_roundtrip():
     assert np.array_equal(rec[m], c[m])
 
 
+def test_build_kmap_unsorted_matches_sorted():
+    """build_kmap_unsorted on a shuffled block must give the same neighbor
+    relation as build_kmap on the canonical block, with indices remapped to
+    the shuffled row order."""
+    from pct.ops.conv import build_kmap, build_kmap_unsorted
+
+    rng = np.random.default_rng(5)
+    block = _rand_block(rng, 400, 2, stride=2, channels=2)
+    idx_s, found_s = build_kmap(block, 3)
+
+    shuf = rng.permutation(block.capacity)
+    shuffled = SparseBlock(
+        coords=block.coords[shuf], feats=block.feats[shuf],
+        mask=block.mask[shuf], stride=block.stride,
+    )
+    idx_u, found_u = build_kmap_unsorted(shuffled, 3)
+
+    # map every (row, tap) hit back to coordinates and compare as sets
+    def hits(coords, idx, found):
+        out = set()
+        c = np.asarray(coords)
+        I, F = np.asarray(idx), np.asarray(found)
+        for r in range(c.shape[0]):
+            for t in range(27):
+                if F[r, t]:
+                    out.add((tuple(c[r]), t, tuple(c[I[r, t]])))
+        return out
+
+    assert hits(block.coords, idx_s, found_s) == hits(shuffled.coords, idx_u, found_u)
+
+
 def test_generative_up_return_rows():
     rng = np.random.default_rng(3)
     block = _rand_block(rng, 300, 1, stride=4, channels=3)
