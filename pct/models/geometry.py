@@ -27,8 +27,8 @@ import numpy as np
 
 from pct.entropy.bottleneck import EntropyBottleneck
 from pct.gpcc import decode_points, encode_points
-from pct.ops import counts_per_batch, sparse_conv, sparse_conv_down, topk_per_batch_mask
-from pct.ops.conv import build_kmap, up_features_at
+from pct.ops import counts_per_batch, sparse_conv, sparse_conv_down
+from pct.ops.conv import build_kmap
 from pct.sparse import coords as coords_lib
 from pct.sparse.block import PAD_COORD, SparseBlock, bucket_size, canonicalize
 

@@ -49,7 +49,6 @@ from pct.ops import (
     kernel_offsets,
     sparse_conv,
     sparse_conv_down,
-    topk_per_batch_mask,
 )
 from pct.ops.conv import set_compute_dtype as _set_dtype
 from pct.sparse.block import SparseBlock, truncate_capacity
