@@ -87,6 +87,7 @@ def frame_rd_loss(
     a_ratio: float = 1.0,
     ste: bool = False,
     tf_color: float = 0.0,
+    occ_level_weights: tuple = (1.0, 1.0, 1.0),
 ) -> tuple[jax.Array, Dict[str, Any]]:
     """RD loss for a single frame block (batch column all zeros). Returns
     (scalar loss, metrics dict). vmap over frames for a batch.
@@ -194,7 +195,16 @@ def frame_rd_loss(
         _, found = coords_lib.find_coords(true_c, cand_coords, true_m, cand_mask)
         target = found.astype(jnp.float32)
         bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        occ_loss = occ_loss + jnp.sum(bce * cand_mask) / jnp.maximum(
+        # per-level weight: strict-decode hit rate ~= the product of
+        # per-level top-k recalls, and the measured loss concentrates at the
+        # finest level (PERF.md: 0.989/0.789/0.635) — boosting its BCE share
+        # is the direct training lever on the latent-rung hit rate
+        w_l = (
+            float(occ_level_weights[level])
+            if level < len(occ_level_weights)
+            else 1.0
+        )
+        occ_loss = occ_loss + w_l * jnp.sum(bce * cand_mask) / jnp.maximum(
             jnp.sum(cand_mask.astype(jnp.float32)), 1.0
         )
 

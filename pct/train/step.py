@@ -35,6 +35,10 @@ class TrainConfig:
     # weight (relative to w_a) of the teacher-forced color loss at the true
     # coordinate pyramid (v1 arch only — g_s_at); 0 disables
     tf_color: float = 0.0
+    # per-synthesis-level occupancy-BCE weights, coarse -> fine: hit rate is
+    # the product of per-level recalls and the measured loss concentrates at
+    # the finest level — boost its share to train the latent-rung hit rate
+    occ_level_weights: tuple = (1.0, 1.0, 1.0)
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -50,7 +54,7 @@ def batch_rd_loss(model: ColorModel, cfg: TrainConfig, params: Params, batch: Sp
     losses, metrics = jax.vmap(
         lambda blk, q, k: frame_rd_loss(
             model, params, blk, q, k, cfg.lambda_g, cfg.lambda_a, cfg.g_ratio,
-            cfg.a_ratio, cfg.ste, cfg.tf_color,
+            cfg.a_ratio, cfg.ste, cfg.tf_color, cfg.occ_level_weights,
         )
     )(batch, qs, keys)
     loss = jnp.mean(losses) + cfg.aux_weight * model.entropy_bottleneck.aux_loss(

@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--no-ste", dest="ste", action="store_false")
     ap.add_argument("--tf-color", type=float, default=1.0,
                     help="teacher-forced color loss weight (x lambda_a); 0 disables")
+    ap.add_argument("--occ-level-weights", default="1,1,1",
+                    help="per-level occupancy-BCE weights coarse->fine; the "
+                    "strict-decode hit-rate lever is the finest level "
+                    "(measured recalls 0.989/0.789/0.635 — PERF.md)")
     ap.add_argument("--corner-prob", type=float, default=0.5,
                     help="probability a frame's q is one of the demo corner settings")
     ap.add_argument("--arch", default="v1", help="model architecture: v1 | v2 (pct.models.UnifiedConfig)")
@@ -164,6 +168,7 @@ def main():
         grad_clip=args.grad_clip,
         ste=args.ste,
         tf_color=args.tf_color if args.arch == "v1" else 0.0,
+        occ_level_weights=tuple(float(w) for w in args.occ_level_weights.split(",")),
     )
     opt = make_optimizer(tcfg)
     opt_state = opt.init(params)
