@@ -25,7 +25,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/reference/evaluation/data/test")
-    ap.add_argument("--ckpt", default="")
+    ap.add_argument(
+        "--ckpt",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "checkpoints", "demo.msgpack",
+        ),
+        help="model checkpoint; pass --ckpt '' for a random-init model "
+        "(footgun: a bare run used to default to random weights and "
+        "report ~4 dB color)",
+    )
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--stride", type=int, default=1,
                     help="sample every Nth recorded frame (spread across the sequence)")
@@ -76,9 +85,11 @@ def main():
     peak = float(2 ** int(np.ceil(np.log2(extent + 1))) - 1)
     print(f"{len(frames)} frames, {num_points} points, peak={peak}", flush=True)
 
-    if args.ckpt:
+    if args.ckpt and os.path.exists(args.ckpt):
         model, params, tables = checkpoint.load_with_tables(args.ckpt)
     else:
+        print("WARNING: no checkpoint — RANDOM weights (quality numbers are "
+              "meaningless; geometry-exact modes still decode)", flush=True)
         model = ColorModel(UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32))
         params, tables = model.init_params(jax.random.key(0)), None
     enc, dec = SerialEncoder(model, params, tables), SerialDecoder(model, params, tables)
