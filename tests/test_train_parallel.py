@@ -45,6 +45,34 @@ def test_rd_loss_finite_and_differentiable(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_occ_level_weights_scale_the_bce(rng):
+    """Per-level occupancy weights (the fine-level hit-rate lever) must
+    change the loss, keep gradients finite, and reproduce the default loss
+    at all-ones."""
+    model = ColorModel(TINY)
+    params = model.init_params(jax.random.key(0))
+    batch = frames_to_training_batch(make_frames(rng, 2), capacity=128)
+    qs = jnp.asarray(rng.random((2, 2)), jnp.float32)
+    keys = jax.random.split(jax.random.key(1), 2)
+
+    def loss_with(weights):
+        cfg = TrainConfig(occ_level_weights=weights)
+        return batch_rd_loss(model, cfg, params, batch, qs, keys)
+
+    (l_def, _) = loss_with((1.0, 1.0, 1.0))
+    (l_boost, _) = loss_with((1.0, 1.0, 4.0))
+    assert float(l_def) != float(l_boost)
+    (l_base, m_base) = batch_rd_loss(model, TrainConfig(), params, batch, qs, keys)
+    assert float(l_def) == float(l_base), "all-ones must reproduce the default"
+    g = jax.grad(lambda p: batch_rd_loss(
+        model, TrainConfig(occ_level_weights=(1.0, 1.0, 4.0)), p, batch, qs, keys
+    )[0])(params)
+    gnorm = jax.tree.reduce(
+        lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), g)
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_train_step_reduces_loss(rng):
     model = ColorModel(TINY)
     params = model.init_params(jax.random.key(0))
