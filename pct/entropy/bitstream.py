@@ -66,7 +66,14 @@ class SegmentBitstream:
 
     def pack(self) -> bytes:
         out = bytearray()
-        nf = self.num_frames if self.geometry_mode == "latent" else -self.num_frames
+        # Only "lossless" flips the num_frames sign. "guided" keeps the
+        # latent sign: its gpcc strings ARE the latent skeleton, so a blob
+        # whose OC1 tail is truncated/corrupted degrades to a valid latent
+        # top-k decode instead of silently mis-decoding the stride-8
+        # skeleton as the full-resolution voxel set (ADVICE r3). Old guided
+        # blobs (negative nf + OC1) still unpack: the OC1 tag flips the
+        # mode regardless of the sign.
+        nf = -self.num_frames if self.geometry_mode == "lossless" else self.num_frames
         out += struct.pack("<i", nf)
         out += struct.pack("<dd", self.q_g, self.q_a)
         out += struct.pack(

@@ -49,16 +49,22 @@ def render_points(
 
     img = np.full((size * size,), background, np.float64)
     img = np.stack([img, img, img], axis=1)
-    zbuf = np.full((size * size,), -np.inf)
-    # nearest-wins: sort by depth ascending, later (closer) writes win
-    order = np.argsort(depth, kind="stable")
-    for dx in range(splat):
-        for dy in range(splat):
-            px = np.clip(xy[order, 0] + dx, 0, size - 1)
-            py = np.clip(xy[order, 1] + dy, 0, size - 1)
-            flat = py * size + px
-            img[flat] = col[order]
-            zbuf[flat] = depth[order]
+    # nearest-wins: depth-sort ONCE over the (point x splat-offset)
+    # expansion so a later scatter write is always the closer surface —
+    # per-offset passes let a far point's offset pixel overwrite a near
+    # point's pixel from an earlier pass (ADVICE r3).
+    n = xy.shape[0]
+    s2 = splat * splat
+    offs = np.stack(
+        np.meshgrid(np.arange(splat), np.arange(splat), indexing="ij"), axis=-1
+    ).reshape(s2, 2)
+    px = np.clip(xy[:, None, 0] + offs[None, :, 0], 0, size - 1)
+    py = np.clip(xy[:, None, 1] + offs[None, :, 1], 0, size - 1)
+    flat = (py * size + px).reshape(n * s2)
+    depth_e = np.repeat(depth, s2)
+    col_e = np.repeat(col, s2, axis=0)
+    order = np.argsort(depth_e, kind="stable")
+    img[flat[order]] = col_e[order]
     # y axis points up in the image
     out = img.reshape(size, size, 3)[::-1].astype(np.float32)
     return out

@@ -150,6 +150,23 @@ class UnifiedConfig:
     # b9cc5ae; within one build, encoder and decoder are always consistent.
     derived_maps: bool = True
 
+    def __post_init__(self):
+        # keep_factors is indexed kf[lvl] by the synthesis/guided paths and
+        # its last entry gates the final exact top-k — validate here instead
+        # of failing deep inside a traced graph (ADVICE r3).
+        if len(self.keep_factors) != self.num_levels:
+            raise ValueError(
+                f"keep_factors has {len(self.keep_factors)} entries; "
+                f"num_levels={self.num_levels} required"
+            )
+        if self.keep_factors[-1] != 1.0:
+            raise ValueError("keep_factors[-1] must be 1.0 (final top-k is exact)")
+        if len(self.channels) != self.num_levels:
+            raise ValueError(
+                f"channels has {len(self.channels)} entries; "
+                f"num_levels={self.num_levels} required"
+            )
+
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
         d = dict(d)

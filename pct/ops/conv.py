@@ -20,6 +20,7 @@ intermediate. Weight layout is ``[K, C_in, C_out]``.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Optional
 
 import jax
@@ -40,13 +41,20 @@ K_CHUNK = 9  # taps materialized per gather (27 = 3 chunks); bounds the
 # — the parity-critical hyperprior path enforces float32 by calling
 # set_compute_dtype(float32) at ColorModel.h_s entry (trace time), so the
 # (scale, mean) -> index derivation never runs in bf16 even when the
-# checkpoint's feature path is bfloat16.
-_COMPUTE_DTYPE = jnp.float32
+# checkpoint's feature path is bfloat16. THREAD-LOCAL: the pipelined codecs
+# trace device-stage (config dtype) and host-stage (pinned float32) graphs
+# on different threads concurrently; a process-global would let one thread's
+# entry-set leak into another thread's mid-trace conv calls and flip the
+# parity-critical path to bf16 (ADVICE r3, medium).
+_DTYPE_TLS = threading.local()
 
 
 def set_compute_dtype(dtype) -> None:
-    global _COMPUTE_DTYPE
-    _COMPUTE_DTYPE = jnp.dtype(dtype)
+    _DTYPE_TLS.value = jnp.dtype(dtype)
+
+
+def get_compute_dtype():
+    return getattr(_DTYPE_TLS, "value", jnp.float32)
 
 
 def _gather_gemm(
@@ -67,7 +75,7 @@ def _gather_gemm(
     traced graph size bounded."""
     k, cin, cout = weight.shape
     n = idx.shape[0]
-    cdt = _COMPUTE_DTYPE
+    cdt = get_compute_dtype()
     table = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     table = table.astype(cdt)  # cast once; the 27x tap gather reads half the bytes
     safe_idx = jnp.where(found, idx, feats.shape[0])  # missing -> zero row

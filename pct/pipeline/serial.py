@@ -223,7 +223,14 @@ def _synth_caps(model: ColorModel, ks: np.ndarray) -> tuple[int, ...]:
     caps = []
     for l in range(nl):
         factor = kf[l] if l < last else 1.0
-        need = int(np.ceil(float(ks[l].sum()) * factor))
+        # match g_s's per-frame k_eff = round(k_b * kf) (unified.py g_s):
+        # summing the rounded values — ceil(sum * kf) can undershoot it by
+        # up to B/2 rows and silently drop ranked survivors at segments
+        # sitting exactly on the analysis cap (ADVICE r3).
+        if factor == 1.0:
+            need = int(ks[l].sum())
+        else:
+            need = int(np.round(ks[l].astype(np.float64) * factor).sum())
         if tier <= SMALL_INPUT or l == last:
             stat = tier
         else:
@@ -481,10 +488,11 @@ class SerialEncoder:
             )
         dec = self._sim_decoder
         y_block, scales, means, y_syms, q, _ = dec._latent_phase1_host(level)
-        # ground-truth occupancy key sets per synthesis level (strides 4,2,1)
+        # ground-truth occupancy key sets per synthesis level
+        # (strides 2^(L-1) .. 1, i.e. 4,2,1 for the 3-level config)
         true_keys = []
         for lvl in range(m.config.num_levels):
-            s = 4 >> lvl
+            s = 2 ** (m.config.num_levels - 1 - lvl)
             keys = []
             for b, fr in enumerate(frames):
                 pts = np.unique(np.asarray(fr["points"], np.int32) // s * s, axis=0)

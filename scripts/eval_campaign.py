@@ -141,11 +141,27 @@ def run_one(fps: int, segments: int, ckpt: str, out_dir: str, base_port: int) ->
             v = pd.to_numeric(df[cols[0]], errors="coerce")
             return round(float(v.mean()), 4)
 
+        def col_diff_mean(end, start):
+            ce = [c for c in df.columns if end in c]
+            cs = [c for c in df.columns if start in c]
+            if not ce or not cs:
+                return None
+            v = pd.to_numeric(df[ce[0]], errors="coerce") - pd.to_numeric(
+                df[cs[0]], errors="coerce"
+            )
+            return round(float(v.mean()), 4)
+
         summary.update(
             {
                 "segments_tx": len(df),
                 "loss_rate": round(1.0 - float(df["packet_received"].mean()), 3),
-                "encode_s": col_mean("time_measurements_analysis"),
+                # codec wall (codec_end - codec_start) — the reference's
+                # encode-time metric (BASELINE.md rows). The analysis step
+                # alone understated it ~2-3x (VERDICT r3 "weak" #1).
+                "encode_wall_s": col_diff_mean(
+                    "timestamps_codec_end", "timestamps_codec_start"
+                ),
+                "encode_analysis_s": col_mean("time_measurements_analysis"),
                 "decode_synth_s": col_mean("time_measurements_synthesis_transform"),
                 "num_points": col_mean("num_points"),
                 "bpp": col_mean("gop_info_bpp"),
