@@ -171,9 +171,13 @@ def main():
 
         from pct.pipeline import CompressionPipeline, DecompressionPipeline
 
-        enc_p = CompressionPipeline(model, params)
-        dec_p = DecompressionPipeline(model, params)
-        enc_p.compress(frames, settings)  # warm the pipeline objects
+        enc_p = CompressionPipeline(model, params, tables)
+        dec_p = DecompressionPipeline(model, params, tables)
+        # warm both pipeline objects (jit traces are shared by codec hash,
+        # but the decode pipeline's head/neural split has its own first-call
+        # costs)
+        lv_w, _ = enc_p.compress(frames, settings)
+        dec_p.decompress(lv_w[-1].pack())
 
         def one(_):
             lv, _i = enc_p.compress(frames, settings)

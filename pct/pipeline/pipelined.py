@@ -106,14 +106,45 @@ class DecompressionPipeline:
         Stage("dec-neural", self._neural, self.q_mid, self.q_done)
 
     def _head(self, item):
-        # The serial decoder interleaves host entropy decode with its two
-        # device phases; the stage split exists to overlap segments.
-        return item
+        """Host-entropy front half (reference D1-D5: bitstream read, octree
+        geometry, factorized + Gaussian rANS, hyper synthesis dispatch).
+        While this stage chews segment n+1's rANS streams on the CPU, the
+        neural stage runs segment n's device synthesis — the overlap the
+        reference gets from its 4 decoder threads (codec_parallel.py:28-43)."""
+        import time as _time
 
-    def _neural(self, item):
+        from pct.entropy.bitstream import SegmentBitstream
+
         level, result_q, t_start = item
         try:
-            frames, sideinfo = self._serial.decompress(level)
+            t0 = _time.time()
+            if isinstance(level, (bytes, bytearray)):
+                level = SegmentBitstream.unpack(bytes(level))
+            t_read = _time.time() - t0
+            if level.geometry_mode != "latent":
+                # guided/lossless decode their pyramid level-by-level with
+                # host<->device ping-pong — no clean entropy/synthesis seam;
+                # they run whole in the neural stage (still overlapping the
+                # head stage of the NEXT segment).
+                return ("whole", level, None, result_q, t_start)
+            front = self._serial._latent_phase1_host(level)
+            return ("split", level, (front, t_read), result_q, t_start)
+        except Exception:  # noqa: BLE001 - forward to the blocked caller
+            import traceback
+
+            result_q.put(StageError(Exception("decode head stage"), traceback.format_exc()))
+            return None
+
+    def _neural(self, item):
+        if item is None:
+            return None
+        kind, level, headout, result_q, t_start = item
+        try:
+            if kind == "whole":
+                frames, sideinfo = self._serial.decompress(level)
+            else:
+                front, t_read = headout
+                frames, sideinfo = self._serial._latent_phase2_host(level, front, t_read)
             sideinfo["timestamps"]["codec_start"] = t_start
             result_q.put((frames, sideinfo))
         except Exception:  # noqa: BLE001 - forward to the blocked caller

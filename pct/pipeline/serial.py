@@ -1399,9 +1399,24 @@ class SerialDecoder:
             return self._decompress_lossless(level, t_codec_start, t_read)
         if level.geometry_mode == "guided":
             return self._decompress_guided(level, t_codec_start, t_read)
-        num_frames = level.num_frames
+        front = self._latent_phase1_host(level)
+        return self._latent_phase2_host(level, front, t_read, t_codec_start)
 
-        y_block, scales, means, y_syms, q, times = self._latent_phase1_host(level)
+    def _latent_phase2_host(
+        self,
+        level: SegmentBitstream,
+        front,
+        t_read: float,
+        t_codec_start: float | None = None,
+    ):
+        """D6 back half of a latent decode: synthesis with per-frame top-k.
+        Split from :meth:`_latent_phase1_host` so the pipelined decoder can
+        overlap segment n's device synthesis with segment n+1's host entropy
+        decode (reference codec_parallel.py's 4-thread overlap)."""
+        if t_codec_start is None:
+            t_codec_start = time.time()
+        num_frames = level.num_frames
+        y_block, scales, means, y_syms, q, times = front
 
         # D6 synthesis with per-frame top-k pruning
         t0 = time.time()

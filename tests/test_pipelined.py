@@ -80,6 +80,72 @@ def test_pipelined_overlapping_segments(setup, rng):
         assert levels[0].ks[0][2] == frames[0]["points"].shape[0]
 
 
+def test_pipelined_decode_stage_overlap(setup, rng):
+    """The decode pipeline must actually overlap: segment n+1's host-entropy
+    head stage runs WHILE segment n's synthesis stage runs (the reference's
+    4-thread decoder overlap, codec_parallel.py:28-43 — round 3 ran all
+    decode work in one stage)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    model, params = setup
+    pipe = DecompressionPipeline(model, params)
+    enc = SerialEncoder(model, params)
+    blobs = []
+    for _ in range(3):
+        frames = make_frames(rng, num_frames=1)
+        levels, _ = enc.compress(frames, [[0.5, 0.5]])
+        blobs.append(levels[0].pack())
+    pipe.decompress(blobs[0])  # warm the jit caches so stage times are real
+
+    spans = {"head": [], "neural": []}
+    ser = pipe._serial
+    orig1, orig2 = ser._latent_phase1_host, ser._latent_phase2_host
+
+    def timed(name, fn):
+        def wrap(*a, **k):
+            t0 = time.time()
+            out = fn(*a, **k)
+            spans[name].append((t0, time.time()))
+            return out
+
+        return wrap
+
+    ser._latent_phase1_host = timed("head", orig1)
+    ser._latent_phase2_host = timed("neural", orig2)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [ex.submit(pipe.decompress, b) for b in blobs]
+            outs = [f.result(timeout=300) for f in futs]
+    finally:
+        ser._latent_phase1_host, ser._latent_phase2_host = orig1, orig2
+    assert len(outs) == 3 and all(o[0] for o in outs)
+    assert len(spans["head"]) == 3 and len(spans["neural"]) == 3
+    # some head interval overlaps some neural interval of an EARLIER segment
+    overlap = any(
+        h0 < n1 and n0 < h1
+        for i, (h0, h1) in enumerate(spans["head"])
+        for j, (n0, n1) in enumerate(spans["neural"])
+        if j < i
+    )
+    assert overlap, (spans, "decode stages never overlapped across segments")
+
+
+def test_pipelined_decode_guided_and_lossless(setup, rng):
+    """Non-latent rungs route whole through the neural stage and still decode
+    the exact voxel set through the pipeline."""
+    model, params = setup
+    frames = make_frames(rng, num_frames=1)
+    enc = SerialEncoder(model, params)
+    pipe = DecompressionPipeline(model, params)
+    for mode in ("guided", "lossless"):
+        levels, _ = enc.compress(frames, [[1.0, 0.0]], geometry_mode=mode)
+        out, _ = pipe.decompress(levels[0].pack())
+        got = {tuple(r) for r in out[0]["points"]}
+        want = {tuple(r) for r in frames[0]["points"]}
+        assert got == want, mode
+
+
 def test_pipelined_error_propagates(setup):
     model, params = setup
     pipe = DecompressionPipeline(model, params)
