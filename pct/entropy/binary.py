@@ -72,3 +72,59 @@ class BinaryConditional:
         return rans.decode_with_indexes(
             stream, np.asarray(bins, np.int32), *tables.astuple()
         )
+
+    # ------------------------------------------------------------------
+    # per-segment empirical calibration (guided "OC2" streams)
+    # ------------------------------------------------------------------
+    #
+    # The static tables charge each bit the cross entropy of the bin-center
+    # sigmoid — on held-out data the occupancy head is miscalibrated, so the
+    # stream pays CE(empirical || predicted) above the empirical entropy.
+    # Calibration: the encoder counts each bin's ACTUAL P(occupied) in this
+    # stream, quantizes it to a uint16 grid, ships the 64-entry table
+    # (PROB_HEADER_BYTES) ahead of the rANS payload, and both sides build
+    # identical CDFs from the quantized codes. Per-bin code length drops to
+    # n_b * H(p_hat_b) (+128 B header) <= the static rate whenever the head
+    # is miscalibrated — the largest measured source of the guided rungs'
+    # 4.7-6.2 bpp geometry cost (VERDICT r3 item 9).
+
+    PROB_GRID = 65536
+    PROB_HEADER_BYTES = NUM_BINS * 2
+
+    def calibrate(self, bits: np.ndarray, bins: np.ndarray) -> np.ndarray:
+        """Per-bin empirical P(1) of ``bits`` as uint16 grid codes
+        (Laplace-smoothed; empty bins fall back to the static bin center)."""
+        bits = np.asarray(bits, np.int64)
+        bins = np.asarray(bins, np.int64)
+        n = np.bincount(bins, minlength=NUM_BINS).astype(np.float64)
+        n1 = np.bincount(bins, weights=bits.astype(np.float64), minlength=NUM_BINS)
+        p = (n1 + 0.5) / (n + 1.0)
+        p = np.where(n > 0, p, bin_probabilities())
+        codes = np.clip(np.round(p * self.PROB_GRID), 1, self.PROB_GRID - 1)
+        return codes.astype(np.uint16)
+
+    def tables_from_codes(self, codes: np.ndarray) -> CdfTables:
+        """CDF tables from transmitted uint16 probability codes — pure
+        integer-grid input, so encoder and decoder build identical tables."""
+        codes = np.asarray(codes, np.uint16)
+        assert codes.shape == (NUM_BINS,), codes.shape
+        cdfs = np.zeros((NUM_BINS, 4), np.int32)
+        lengths = np.full(NUM_BINS, 4, np.int32)
+        offsets = np.zeros(NUM_BINS, np.int32)
+        for r, c in enumerate(codes):
+            p = float(c) / self.PROB_GRID
+            cdf = rans.pmf_to_quantized_cdf(np.array([1.0 - p, p, 1e-9]))
+            cdfs[r, : cdf.size] = cdf
+        return CdfTables(cdfs=cdfs, lengths=lengths, offsets=offsets)
+
+    def compress_calibrated(self, bits: np.ndarray, bins: np.ndarray) -> bytes:
+        """[64 x uint16 LE prob codes ⧺ rANS payload] — self-describing."""
+        codes = self.calibrate(bits, bins)
+        tables = self.tables_from_codes(codes)
+        payload = self.compress(tables, bits, bins)
+        return codes.astype("<u2").tobytes() + payload
+
+    def decompress_calibrated(self, stream: bytes, bins: np.ndarray) -> np.ndarray:
+        codes = np.frombuffer(stream[: self.PROB_HEADER_BYTES], dtype="<u2")
+        tables = self.tables_from_codes(codes)
+        return self.decompress(tables, stream[self.PROB_HEADER_BYTES :], bins)

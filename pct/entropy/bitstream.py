@@ -48,6 +48,12 @@ class SegmentBitstream:
     # Guided-occupancy streams, one per synthesis level (coarse -> fine);
     # non-empty list <=> geometry_mode == "guided".
     occ_strings: list[bytes] = dataclasses.field(default_factory=list)
+    # "OC2" streams carry a per-segment empirical calibration header (64
+    # uint16 bin probabilities) ahead of each level's rANS payload
+    # (pct/entropy/binary.py::compress_calibrated); "OC1" streams code under
+    # the static bin-center sigmoids. New encodes always write OC2; the
+    # decoder accepts both (published OC1 media keeps decoding).
+    occ_calibrated: bool = True
     # Optional color-residual stream (lossless-geometry rungs): quantized
     # (true - predicted) colors, rANS-coded with the Gaussian-conditional
     # tables at the shipped per-channel scale indexes. ``color_step`` is the
@@ -86,7 +92,7 @@ class SegmentBitstream:
             out += g
         if self.geometry_mode == "guided":
             assert self.occ_strings, "guided mode requires occupancy streams"
-            out += b"OC1"
+            out += b"OC2" if self.occ_calibrated else b"OC1"
             out += struct.pack("<i", len(self.occ_strings))
             for s in self.occ_strings:
                 out += struct.pack("<i", len(s))
@@ -123,9 +129,11 @@ class SegmentBitstream:
             ks.append((k1, k2, k3))
         color_step, color_scale_idx, color_string = 0, (), b""
         occ_strings: list[bytes] = []
+        occ_calibrated = True
         while off + 3 <= len(data):
             tag = data[off : off + 3]
-            if tag == b"OC1":
+            if tag in (b"OC1", b"OC2"):
+                occ_calibrated = tag == b"OC2"
                 off += 3
                 (n_occ,) = take("<i")
                 for _ in range(n_occ):
@@ -142,7 +150,8 @@ class SegmentBitstream:
                 break
         return cls(
             q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks, mode,
-            occ_strings=occ_strings, color_step=color_step,
+            occ_strings=occ_strings, occ_calibrated=occ_calibrated,
+            color_step=color_step,
             color_scale_idx=color_scale_idx, color_string=color_string,
         )
 

@@ -507,8 +507,10 @@ class SerialEncoder:
             n_sym = n_parent * 8
             cc = np.asarray(jax.device_get(cand_c))[:n_sym]
             bits_n = np.isin(_pack_occ_keys(cc), true_keys[lvl])
-            streams[lvl] = m.binary_conditional.compress(
-                self.bc_tables,
+            # OC2: per-segment empirical bin calibration — rate drops to the
+            # bins' empirical entropy instead of the head's (miscalibrated)
+            # cross entropy, +128 B/level header
+            streams[lvl] = m.binary_conditional.compress_calibrated(
                 bits_n.astype(np.int32),
                 np.asarray(bins)[:n_sym].astype(np.int32),
             )
@@ -1144,9 +1146,14 @@ class SerialDecoder:
         def source(lvl, n_parent, cand_c, cand_m, bins):
             n_sym = n_parent * 8
             idx = np.asarray(bins)[:n_sym]
-            syms = m.binary_conditional.decompress(
-                bc_tables, level.occ_strings[lvl], idx
-            )
+            if level.occ_calibrated:
+                syms = m.binary_conditional.decompress_calibrated(
+                    level.occ_strings[lvl], idx
+                )
+            else:  # OC1: static bin-center tables (pre-round-4 media)
+                syms = m.binary_conditional.decompress(
+                    bc_tables, level.occ_strings[lvl], idx
+                )
             bits = np.zeros(int(cand_m.shape[0]), bool)
             bits[:n_sym] = syms.astype(bool)
             return bits

@@ -81,9 +81,76 @@ def test_logit_bins_match_probabilities():
     assert np.abs(probs[bins] - sig).max() < 0.04
 
 
+def test_calibrated_coder_roundtrip_and_rate(rng):
+    """OC2 calibration: round-trips exactly, and when the bin-center
+    probabilities are badly wrong the calibrated stream is much smaller
+    (rate = per-bin empirical entropy instead of cross entropy)."""
+    bc = BinaryConditional()
+    # bits drawn at p=0.9 but labeled with LOW-probability bins (severe
+    # head miscalibration)
+    bits = (rng.random(20000) < 0.9).astype(np.int32)
+    bins = rng.integers(0, 8, 20000).astype(np.int32)  # centers near p~0.001
+    stream_cal = bc.compress_calibrated(bits, bins)
+    out = bc.decompress_calibrated(stream_cal, bins)
+    np.testing.assert_array_equal(np.asarray(out, np.int32), bits)
+    stream_static = bc.compress(bc.update(), bits, bins)
+    assert len(stream_cal) < len(stream_static) / 5, (
+        len(stream_cal),
+        len(stream_static),
+    )
+
+
+def test_calibrated_coder_empty_and_skewed_bins(rng):
+    """Bins that never occur, all-zeros and all-ones bins must all survive
+    the uint16 quantization round-trip."""
+    bc = BinaryConditional()
+    bits = np.concatenate([np.zeros(500, np.int32), np.ones(500, np.int32)])
+    bins = np.concatenate([np.full(500, 3, np.int32), np.full(500, 60, np.int32)])
+    stream = bc.compress_calibrated(bits, bins)
+    np.testing.assert_array_equal(
+        np.asarray(bc.decompress_calibrated(stream, bins), np.int32), bits
+    )
+
+
 # ---------------------------------------------------------------------------
 # wire format
 # ---------------------------------------------------------------------------
+
+
+def test_bitstream_oc1_backward_compat():
+    """Pre-round-4 guided blobs (OC1 tag, negative num_frames) still unpack
+    as guided with occ_calibrated=False."""
+    lv = SegmentBitstream(
+        q_g=1.0, q_a=0.5, y_shape=4, z_shape=2,
+        y_string=b"yy", z_string=b"zz",
+        gpcc_strings=[b"g0"], ks=[(4, 3, 2)],
+        geometry_mode="guided", occ_strings=[b"a", b"bb", b"ccc"],
+        occ_calibrated=False,
+    )
+    blob = bytearray(lv.pack())
+    assert b"OC1" in blob and b"OC2" not in blob
+    # simulate the old writer's negative num_frames for guided
+    import struct
+
+    struct.pack_into("<i", blob, 0, -1)
+    out = SegmentBitstream.unpack(bytes(blob))
+    assert out.geometry_mode == "guided" and not out.occ_calibrated
+    assert out.num_frames == 1 and out.occ_strings == [b"a", b"bb", b"ccc"]
+
+
+def test_bitstream_truncated_guided_degrades_to_latent():
+    """A guided blob whose OC1/OC2 tail is lost parses as a VALID latent
+    blob (positive num_frames), not as lossless (ADVICE r3)."""
+    lv = SegmentBitstream(
+        q_g=1.0, q_a=0.5, y_shape=4, z_shape=2,
+        y_string=b"yy", z_string=b"zz",
+        gpcc_strings=[b"g0"], ks=[(4, 3, 2)],
+        geometry_mode="guided", occ_strings=[b"a", b"bb", b"ccc"],
+    )
+    blob = lv.pack()
+    trunc = SegmentBitstream.unpack(blob[: blob.index(b"OC2")])
+    assert trunc.geometry_mode == "latent"
+    assert trunc.num_frames == 1 and trunc.y_string == b"yy"
 
 
 def test_bitstream_occ_tail_roundtrip():
