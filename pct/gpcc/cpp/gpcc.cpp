@@ -10,9 +10,15 @@
 //   body:   context-adaptive binary range coder over breadth-first octree
 //           occupancy bytes (Morton order)
 //
-// Contexts: child slot index x occupied-siblings-so-far x parent occupancy
-// popcount x level parity. The binary range coder is the classic public
-// carry-counting (LZMA-style) construction.
+// Contexts (v2, depth byte high bit set): child slot index x occupied
+// face-neighbor mask for the 3 neighbor nodes the child touches x decoded
+// same-axis sibling mask x parent-occupancy-popcount bucket x level parity.
+// The face-neighbor pattern is the tmc13-style spatial context: all nodes of
+// the current level are known to the decoder before any of the level's child
+// bits, so each node looks up its 6 face neighbors in the level's
+// Morton-sorted node list. v1 streams (slot x siblings-so-far x popcount x
+// parity, no spatial context) still decode. The binary range coder is the
+// classic public carry-counting (LZMA-style) construction.
 //
 // The decoder emits points in Morton (BFS) order; callers re-sort into the
 // framework's canonical lexicographic order.
@@ -67,6 +73,28 @@ struct RangeEncoder {
     }
   }
 
+  // Staged-adaptation bit: fresh contexts move fast toward their empirical
+  // probability (shift 2), warm ones anneal to the steady shift — recovers
+  // most of the context-dilution loss of the fine spatial table on small
+  // streams (cold contexts otherwise spend ~32 bits stuck near p=0.5).
+  inline void encode_bit_staged(uint16_t* prob, uint8_t* cnt, int bit) {
+    int shift = *cnt < 8 ? 2 : (*cnt < 32 ? 4 : kAdapt);
+    if (*cnt < 255) ++*cnt;
+    uint32_t bound = (range >> kProbBits) * (*prob);
+    if (bit == 0) {
+      range = bound;
+      *prob += ((1 << kProbBits) - *prob) >> shift;
+    } else {
+      low += bound;
+      range -= bound;
+      *prob -= *prob >> shift;
+    }
+    if (range < (1u << 24)) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
   void flush() {
     for (int i = 0; i < 5; ++i) shift_low();
   }
@@ -107,9 +135,31 @@ struct RangeDecoder {
     }
     return bit;
   }
+
+  inline int decode_bit_staged(uint16_t* prob, uint8_t* cnt) {
+    int shift = *cnt < 8 ? 2 : (*cnt < 32 ? 4 : kAdapt);
+    if (*cnt < 255) ++*cnt;
+    uint32_t bound = (range >> kProbBits) * (*prob);
+    int bit;
+    if (code < bound) {
+      range = bound;
+      *prob += ((1 << kProbBits) - *prob) >> shift;
+      bit = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      *prob -= *prob >> shift;
+      bit = 1;
+    }
+    if (range < (1u << 24)) {
+      range <<= 8;
+      code = (code << 8) | next();
+    }
+    return bit;
+  }
 };
 
-// ctx = (((level & 1) * 8 + parent_pop_m1) * 8 + siblings_so_far) * 8 + slot
+// v1 ctx = (((level & 1) * 8 + parent_pop_m1) * 8 + siblings_so_far) * 8 + slot
 constexpr int kNumCtx = 2 * 8 * 8 * 8;
 
 inline int ctx_index(int level, int parent_pop, int siblings, int slot) {
@@ -119,12 +169,83 @@ inline int ctx_index(int level, int parent_pop, int siblings, int slot) {
   return (((level & 1) * 8 + pp) * 8 + sib) * 8 + slot;
 }
 
+// v2 ctx = ((((level&1)*4 + pop_bucket)*8 + slot)*8 + adj_sib_mask)*8 + neigh_mask
+// plus, for streams of >= kSibCtxMinPoints points, a siblings-so-far bucket
+// (0/1/2/3+) as a 4th-order dimension: measured -4..-8% on dense >=150k-point
+// surfaces but +0.5-3% dilution on small streams, so it keys off the header's
+// n — known to BOTH sides before any occupancy bit, no format change.
+constexpr int kNumCtx2 = 2 * 4 * 8 * 8 * 8 * 4;
+constexpr int kSibCtxMinPoints = 32768;
+
+inline int sib_bucket(int occ) {
+  int s = __builtin_popcount((unsigned)occ);
+  return s > 3 ? 3 : s;
+}
+
+inline int pop_bucket(int parent_pop) {
+  if (parent_pop <= 1) return 0;
+  if (parent_pop == 2) return 1;
+  if (parent_pop <= 4) return 2;
+  return 3;
+}
+
+// Child slot bits: slot = (x<<2)|(y<<1)|z (matches morton3). The 3 same-axis
+// siblings of slot c are c^4, c^2, c^1; a sibling's bit is known iff its slot
+// index is lower (already coded within this node). The 3 face neighbors the
+// child touches are the parent-level nodes offset +-1 along each axis on the
+// child's side (x side = (cx ? +1 : -1), etc.).
+inline int ctx2_index(int level, int parent_pop, int slot, int occupancy_so_far,
+                      int neigh6, bool use_sib) {
+  int adj = 0;
+  for (int a = 0; a < 3; ++a) {
+    int sib = slot ^ (4 >> a);  // 4, 2, 1
+    if (sib < slot && ((occupancy_so_far >> sib) & 1)) adj |= 1 << a;
+  }
+  // neigh6 bit layout: (+x, -x, +y, -y, +z, -z) = bits 5..0
+  int nb = 0;
+  if ((neigh6 >> ((slot & 4) ? 5 : 4)) & 1) nb |= 4;  // x side
+  if ((neigh6 >> ((slot & 2) ? 3 : 2)) & 1) nb |= 2;  // y side
+  if ((neigh6 >> ((slot & 1) ? 1 : 0)) & 1) nb |= 1;  // z side
+  int base = ((((level & 1) * 4 + pop_bucket(parent_pop)) * 8 + slot) * 8 + adj) * 8 + nb;
+  return base * 4 + (use_sib ? sib_bucket(occupancy_so_far) : 0);
+}
+
 inline uint64_t morton3(uint32_t x, uint32_t y, uint32_t z, int depth) {
   uint64_t m = 0;
   for (int i = depth - 1; i >= 0; --i) {
     m = (m << 3) | (((x >> i) & 1u) << 2) | (((y >> i) & 1u) << 1) | ((z >> i) & 1u);
   }
   return m;
+}
+
+inline void morton_xyz(uint64_t m, int bits, uint32_t* x, uint32_t* y, uint32_t* z) {
+  *x = *y = *z = 0;
+  for (int b = 0; b < bits; ++b) {
+    *x |= (uint32_t)((m >> (3 * b + 2)) & 1u) << b;
+    *y |= (uint32_t)((m >> (3 * b + 1)) & 1u) << b;
+    *z |= (uint32_t)((m >> (3 * b)) & 1u) << b;
+  }
+}
+
+// 6-bit face-neighbor occupancy of the node `prefix` (level-`bits` Morton
+// code) against the Morton-sorted node list of its level.
+inline int neighbor_mask(uint64_t prefix, int bits, const uint64_t* level_nodes,
+                         size_t n_nodes) {
+  uint32_t x, y, z;
+  morton_xyz(prefix, bits, &x, &y, &z);
+  uint32_t lim = bits >= 21 ? 0x1FFFFFu : ((1u << bits) - 1u);
+  int mask = 0;
+  const int32_t d[6][3] = {{1, 0, 0}, {-1, 0, 0}, {0, 1, 0},
+                           {0, -1, 0}, {0, 0, 1}, {0, 0, -1}};
+  for (int i = 0; i < 6; ++i) {
+    int64_t nx = (int64_t)x + d[i][0], ny = (int64_t)y + d[i][1],
+            nz = (int64_t)z + d[i][2];
+    if (nx < 0 || ny < 0 || nz < 0 || nx > lim || ny > lim || nz > lim) continue;
+    uint64_t nm = morton3((uint32_t)nx, (uint32_t)ny, (uint32_t)nz, bits);
+    const uint64_t* it = std::lower_bound(level_nodes, level_nodes + n_nodes, nm);
+    if (it != level_nodes + n_nodes && *it == nm) mask |= 1 << (5 - i);
+  }
+  return mask;
 }
 
 struct Node {
@@ -157,7 +278,7 @@ int pct_gpcc_encode(const int32_t* xyz, int n, uint8_t* out, int capacity) {
 
   std::memcpy(out, &n, 4);
   std::memcpy(out + 4, mn, 12);
-  out[16] = (uint8_t)depth;
+  out[16] = (uint8_t)(depth | 0x80);  // high bit: v2 neighbor contexts
   if (n == 0) return header;
 
   std::vector<uint64_t> codes(n);
@@ -167,13 +288,25 @@ int pct_gpcc_encode(const int32_t* xyz, int n, uint8_t* out, int capacity) {
   std::sort(codes.begin(), codes.end());
 
   RangeEncoder rc;
-  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+  const bool use_sib = n >= kSibCtxMinPoints;
+  std::vector<uint16_t> probs(kNumCtx2, kProbInit);
+  std::vector<uint8_t> cnts(kNumCtx2, 0);
   std::vector<Node> nodes{{0u, (uint32_t)n, 8}}, next_nodes;
+  std::vector<uint64_t> lvl_prefixes;
 
   for (int level = 0; level < depth; ++level) {
     int shift = 3 * (depth - 1 - level);
+    // Morton codes of this level's nodes (sorted: BFS preserves order) —
+    // the spatial table every node's face-neighbor lookup runs against
+    lvl_prefixes.resize(nodes.size());
+    int pshift = 3 * (depth - level);
+    for (size_t i = 0; i < nodes.size(); ++i)
+      lvl_prefixes[i] = codes[nodes[i].start] >> pshift;
     next_nodes.clear();
-    for (const Node& nd : nodes) {
+    for (size_t ni = 0; ni < nodes.size(); ++ni) {
+      const Node& nd = nodes[ni];
+      int neigh6 = neighbor_mask(lvl_prefixes[ni], level, lvl_prefixes.data(),
+                                 lvl_prefixes.size());
       // find contiguous child runs (morton-sorted)
       uint32_t bounds[9];
       bounds[0] = nd.start;
@@ -185,7 +318,8 @@ int pct_gpcc_encode(const int32_t* xyz, int n, uint8_t* out, int capacity) {
       int occupancy = 0, sib = 0;
       for (int c = 0; c < 8; ++c) {
         int bit = bounds[c + 1] > bounds[c];
-        rc.encode_bit(&probs[ctx_index(level, nd.parent_pop, sib, c)], bit);
+        int cx2 = ctx2_index(level, nd.parent_pop, c, occupancy, neigh6, use_sib);
+        rc.encode_bit_staged(&probs[cx2], &cnts[cx2], bit);
         if (bit) {
           occupancy |= 1 << c;
           ++sib;
@@ -213,28 +347,47 @@ int pct_gpcc_decode(const uint8_t* in, int nbytes, int32_t* out_xyz, int capacit
   int32_t mn[3];
   std::memcpy(&n, in, 4);
   std::memcpy(mn, in + 4, 12);
-  int depth = in[16];
+  bool v2 = (in[16] & 0x80) != 0;
+  int depth = in[16] & 0x7F;
   if (n < 0 || n > capacity_points) return -1;
   if (n == 0) return 0;
 
   RangeDecoder rc;
   rc.init(in + 17, nbytes - 17);
-  std::vector<uint16_t> probs(kNumCtx, kProbInit);
+  const bool use_sib = n >= kSibCtxMinPoints;
+  std::vector<uint16_t> probs(v2 ? kNumCtx2 : kNumCtx, kProbInit);
+  std::vector<uint8_t> cnts(v2 ? kNumCtx2 : 0, 0);
 
   struct DNode {
     uint64_t prefix;
     uint8_t parent_pop;
   };
   std::vector<DNode> nodes{{0ull, 8}}, next_nodes;
+  std::vector<uint64_t> lvl_prefixes;
 
   for (int level = 0; level < depth; ++level) {
+    if (v2) {
+      lvl_prefixes.resize(nodes.size());
+      for (size_t i = 0; i < nodes.size(); ++i) lvl_prefixes[i] = nodes[i].prefix;
+    }
     next_nodes.clear();
-    for (const DNode& nd : nodes) {
-      int sib = 0;
+    for (size_t ni = 0; ni < nodes.size(); ++ni) {
+      const DNode& nd = nodes[ni];
+      int neigh6 = v2 ? neighbor_mask(nd.prefix, level, lvl_prefixes.data(),
+                                      lvl_prefixes.size())
+                      : 0;
+      int sib = 0, occupancy = 0;
       for (int c = 0; c < 8; ++c) {
-        int bit = rc.decode_bit(&probs[ctx_index(level, nd.parent_pop, sib, c)]);
+        int bit;
+        if (v2) {
+          int cx2 = ctx2_index(level, nd.parent_pop, c, occupancy, neigh6, use_sib);
+          bit = rc.decode_bit_staged(&probs[cx2], &cnts[cx2]);
+        } else {
+          bit = rc.decode_bit(&probs[ctx_index(level, nd.parent_pop, sib, c)]);
+        }
         if (bit) {
           next_nodes.push_back({(nd.prefix << 3) | (uint64_t)c, 0});
+          occupancy |= 1 << c;
           ++sib;
         }
       }

@@ -98,6 +98,12 @@ def main():
                     help="probability a frame's q is one of the demo corner settings")
     ap.add_argument("--arch", default="v1", help="model architecture: v1 | v2 (pct.models.UnifiedConfig)")
     ap.add_argument("--family", type=int, default=32, help="v2 family-mix channels")
+    ap.add_argument("--keep-factors", default="",
+                    help="override config.keep_factors (e.g. '2,2,1'): train the "
+                    "occupancy scorer against over-provisioned intermediate "
+                    "survivor sets so it learns to reject children of false "
+                    "survivors (zero-shot kf HURT — PERF.md round 3); carried "
+                    "into the saved checkpoint so decode prunes identically")
     args = ap.parse_args()
 
     import jax
@@ -159,6 +165,15 @@ def main():
         )
         model = ColorModel(cfg)
         params = model.init_params(jax.random.key(0))
+    if args.keep_factors:
+        import dataclasses
+
+        kf = tuple(float(x) for x in args.keep_factors.split(","))
+        # kf changes no parameter shapes — params/opt state carry over; the
+        # survivor capacities in the loss and the decode pruning both read it
+        # from the config, so train and decode stay matched
+        model = ColorModel(dataclasses.replace(model.config, keep_factors=kf))
+        print(f"keep_factors overridden to {kf}", flush=True)
     tcfg = TrainConfig(
         learning_rate=args.lr,
         lambda_a=args.lambda_a,
