@@ -54,14 +54,19 @@ class SegmentBitstream:
     # the static bin-center sigmoids. New encodes always write OC2; the
     # decoder accepts both (published OC1 media keeps decoding).
     occ_calibrated: bool = True
-    # Optional color-residual stream (lossless-geometry rungs): quantized
-    # (true - predicted) colors, rANS-coded with the Gaussian-conditional
+    # Optional color-residual stream (any geometry mode): quantized
+    # (target - predicted) colors, rANS-coded with the Gaussian-conditional
     # tables at the shipped per-channel scale indexes. ``color_step`` is the
     # quantization step in 1/255 units (0 = absent). Appended as a tagged
-    # tail ("CR1"), so streams without it are byte-identical to round-2.
+    # tail, so streams without it are byte-identical to round-2. "CR2"
+    # (``color_transform``) codes the residuals in the orthonormal opponent
+    # color basis (pct/entropy/colorres.py) — decorrelated channels cost
+    # less under the per-channel Gaussian scales at identical RGB MSE; "CR1"
+    # (round-3 streams) codes raw RGB residuals and still decodes.
     color_step: int = 0
     color_scale_idx: tuple[int, ...] = ()
     color_string: bytes = b""
+    color_transform: bool = True
 
     @property
     def num_frames(self) -> int:
@@ -98,7 +103,7 @@ class SegmentBitstream:
                 out += struct.pack("<i", len(s))
                 out += s
         if self.color_step > 0:
-            out += b"CR1"
+            out += b"CR2" if self.color_transform else b"CR1"
             out += struct.pack("<iBBB", self.color_step, *self.color_scale_idx)
             out += struct.pack("<i", len(self.color_string))
             out += self.color_string
@@ -128,6 +133,7 @@ class SegmentBitstream:
             gpcc_strings.append(bytes(data[off : off + glen])); off += glen
             ks.append((k1, k2, k3))
         color_step, color_scale_idx, color_string = 0, (), b""
+        color_transform = True
         occ_strings: list[bytes] = []
         occ_calibrated = True
         while off + 3 <= len(data):
@@ -140,7 +146,8 @@ class SegmentBitstream:
                     (slen,) = take("<i")
                     occ_strings.append(bytes(data[off : off + slen])); off += slen
                 mode = "guided"
-            elif tag == b"CR1":
+            elif tag in (b"CR1", b"CR2"):
+                color_transform = tag == b"CR2"
                 off += 3
                 color_step, i0, i1, i2 = take("<iBBB")
                 color_scale_idx = (i0, i1, i2)
@@ -153,6 +160,7 @@ class SegmentBitstream:
             occ_strings=occ_strings, occ_calibrated=occ_calibrated,
             color_step=color_step,
             color_scale_idx=color_scale_idx, color_string=color_string,
+            color_transform=color_transform,
         )
 
 

@@ -427,18 +427,27 @@ class SerialEncoder:
         self, level: SegmentBitstream, frames: Sequence[dict], step: int,
         pred_frames: Sequence[dict] | None = None,
     ) -> None:
-        """Append the color-residual stream to a lossless-geometry level.
+        """Append the color-residual stream (CR2 tail) to any level.
 
-        The decoder's color prediction is DETERMINISTIC given the level
-        bytes, so the encoder reproduces it by decoding the level locally
-        and entropy-codes ``round((true - predicted) * 255 / step)`` with
+        The decoder's color prediction AND voxel set are DETERMINISTIC given
+        the level bytes, so the encoder reproduces them by decoding the level
+        locally and entropy-codes the quantized (target - predicted) colors
+        in the orthonormal opponent basis (``pct/entropy/colorres.py``) with
         the Gaussian-conditional tables at per-channel scale indexes
-        (shipped, 3 bytes). This pays the honest rate for the sensor color
-        noise the latent cannot carry (the attribute analog of the lossless
-        geometry rung). Same-backend prediction parity is exact; a
-        cross-backend decoder can differ by +-1 uint8 rounding step on rare
-        boundary voxels — a bounded color error, never a stream desync (the
-        residual coding indexes are position-independent)."""
+        (shipped, 3 bytes). Targets: exact input color on hit voxels, the
+        stride-2 input-cell mean on misses, the prediction itself elsewhere.
+        This pays the honest rate for the sensor color noise the latent
+        cannot carry (the attribute analog of the lossless geometry rung).
+        Same-backend prediction parity is exact; a cross-backend decoder can
+        differ by +-1 uint8 rounding step on rare boundary voxels — a
+        bounded color error, never a stream desync (the residual coding
+        indexes are position-independent). For LATENT rungs the decoded
+        voxel ORDER additionally rides on float top-k tie-breaks; same
+        backend it is bit-stable (tests pin it), cross-backend a tie flip
+        would misaddress a handful of residuals — bounded color error on
+        those voxels only."""
+        from pct.entropy import colorres
+
         m = self.model
         if pred_frames is None:
             if self._sim_decoder is None:
@@ -446,25 +455,15 @@ class SerialEncoder:
                     m, self.params, {"eb": self.eb_tables, "gc": self.gc_tables}
                 )
             pred_frames, _ = self._sim_decoder.decompress(level)
-        syms = []
-        for fr, pf in zip(frames, pred_frames):
-            pts = np.asarray(fr["points"], np.int32)
-            col = np.asarray(fr["colors"], np.float32)
-            uniq, first = np.unique(pts, axis=0, return_index=True)
-            assert uniq.shape == pf["points"].shape, "prediction/frame mismatch"
-            res = (col[first] - np.asarray(pf["colors"], np.float32)) * 255.0 / step
-            syms.append(np.round(res).astype(np.int32))
-        syms = np.concatenate(syms, axis=0)  # [n1_total, 3], canonical order
-        sigma = np.maximum(syms.astype(np.float64).std(axis=0), 0.12)
-        table = m.gaussian_conditional.scale_table
-        scale_idx = tuple(int((s > table[:-1]).sum()) for s in sigma)
-        idx = np.repeat(
-            np.asarray(scale_idx, np.int32)[None, :], syms.shape[0], axis=0
-        ).ravel()
+        tgt, pred = colorres.residual_targets(frames, pred_frames, _pack_occ_keys)
         level.color_step = int(step)
-        level.color_scale_idx = scale_idx
-        level.color_string = m.gaussian_conditional.compress_symbols(
-            self.gc_tables, syms.ravel(), idx
+        level.color_transform = True
+        level.color_scale_idx, level.color_string = colorres.encode_residuals(
+            m.gaussian_conditional,
+            self.gc_tables,
+            (tgt - pred) * 255.0,
+            int(step),
+            True,
         )
 
     def _attach_guided(self, level: SegmentBitstream, frames: Sequence[dict]) -> None:
@@ -650,9 +649,12 @@ class SerialEncoder:
         if any(steps):
             t0 = time.time()
             for lv, step in zip(levels, steps):
-                # exact-geometry levels (lossless AND guided) support the
-                # residual stream: prediction/input voxel sets coincide
-                if step > 0 and lv.geometry_mode in ("lossless", "guided"):
+                # every rung supports the residual stream: exact-geometry
+                # rungs correct true voxel colors; latent rungs correct the
+                # decoded top-k set (exact color on hits, cell mean on
+                # misses) at the cost of one local simulated decode
+                if step > 0:
+                    assert frames is not None, "color residuals need the input frames"
                     self._attach_color_residuals(
                         lv, frames, step, pred_frames=guided_preds.get(id(lv))
                     )
@@ -1165,14 +1167,7 @@ class SerialDecoder:
             np.asarray(jax.device_get(buf)), cap_out
         )
         if level.color_step > 0:
-            n1 = coords.shape[0]
-            idx = np.repeat(
-                np.asarray(level.color_scale_idx, np.int32)[None, :], n1, axis=0
-            ).ravel()
-            res = self.model.gaussian_conditional.decompress(
-                self.gc_tables, level.color_string, idx
-            ).reshape(n1, 3)
-            colors = np.clip(np.round(colors + res * float(level.color_step)), 0, 255)
+            colors = self._apply_color_residuals(level, colors)
         frames = _split_frames(
             coords, colors / 255.0, np.ones(coords.shape[0], bool), level.num_frames
         )
@@ -1299,15 +1294,7 @@ class SerialDecoder:
         if level.color_step > 0:
             # color-residual stream: quantized (true - predicted) colors in
             # the same canonical voxel order (SerialEncoder._attach_color_residuals)
-            idx = np.repeat(
-                np.asarray(level.color_scale_idx, np.int32)[None, :], n1, axis=0
-            ).ravel()
-            res = self.model.gaussian_conditional.decompress(
-                self.gc_tables, level.color_string, idx
-            ).reshape(n1, 3)
-            colors = np.clip(
-                np.round(colors + res * float(level.color_step)), 0, 255
-            )
+            colors = self._apply_color_residuals(level, colors)
         frames = _split_frames(
             s1,
             colors / 255.0,
@@ -1395,6 +1382,24 @@ class SerialDecoder:
         }
         return y_block, scales, means, y_syms, q, times
 
+    def _apply_color_residuals(self, level: SegmentBitstream, colors_255: np.ndarray):
+        """Decode and add the CR tail's residuals to ``colors_255`` (float
+        0-255, valid decoded voxels in canonical order — the exact order the
+        encoder's simulated decode produced). CR2 residuals are rotated back
+        from the opponent basis; CR1 (round-3 media) are raw RGB."""
+        from pct.entropy import colorres
+
+        res = colorres.decode_residuals(
+            self.model.gaussian_conditional,
+            self.gc_tables,
+            level.color_string,
+            level.color_scale_idx,
+            colors_255.shape[0],
+            level.color_step,
+            level.color_transform,
+        )
+        return np.clip(np.round(colors_255 + res), 0, 255)
+
     def decompress(self, level: SegmentBitstream | bytes):
         t_codec_start = time.time()
         t0 = time.time()
@@ -1451,8 +1456,15 @@ class SerialDecoder:
         coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
         colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
         out_mask = buf[cap_out * 11 :].astype(bool)
+        colors_f = colors8.astype(np.float32)
+        if level.color_step > 0:
+            # latent-rung residual correction: valid rows of the canonical
+            # buffer, in order — identical to the encoder's simulated decode
+            colors_f[out_mask] = self._apply_color_residuals(
+                level, colors_f[out_mask]
+            )
         frames = _split_frames(
-            coords16.astype(np.int32), colors8.astype(np.float32) / 255.0, out_mask, num_frames
+            coords16.astype(np.int32), colors_f / 255.0, out_mask, num_frames
         )
         t_synth = time.time() - t0
 

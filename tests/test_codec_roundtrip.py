@@ -401,7 +401,8 @@ def test_lossless_color_residual_stream(codec, rng):
         om = {tuple(p): c for p, c in zip(orig["points"].tolist(), orig["colors"])}
         for p, c in zip(fr["points"].tolist(), fr["colors"]):
             err = np.abs(np.asarray(om[tuple(p)]) - c) * 255.0
-            assert (err <= step / 2 + 1.0).all(), err
+            # CR2 opponent-basis bound: (step/2) x max column L1 (1.694) + 1
+            assert (err <= step / 2 * 1.694 + 1.0).all(), err
     # without residuals, random-weight colors are nowhere near the originals
     plain, _ = enc.compress(frames, [[1.0, 1.0]], geometry_mode="lossless")
     out0, _ = dec.decompress(plain[0])
@@ -410,3 +411,69 @@ def test_lossless_color_residual_stream(codec, rng):
     for p, c in zip(out0[0]["points"].tolist(), out0[0]["colors"]):
         errs.append(np.abs(np.asarray(om[tuple(p)]) - c).max() * 255.0)
     assert np.mean(errs) > step, "test premise: prediction must be poor with random weights"
+
+
+def test_latent_color_residual_stream(codec, rng):
+    """Latent rungs support the CR2 residual tail: decoded HIT voxels are
+    corrected to the exact input color within the opponent-basis quantizer
+    bound (the encoder addresses residuals through a simulated decode of its
+    own bytes, so the voxel order contract is decode==sim by construction)."""
+    enc, dec = codec
+    frames = make_frames(rng, num_frames=2, n=400)
+    step = 8
+    levels, _ = enc.compress(
+        frames, [[1.0, 1.0]], geometry_mode="latent", lossless_color_step=step
+    )
+    lv = levels[0]
+    assert lv.geometry_mode == "latent"
+    assert lv.color_step == step and len(lv.color_string) > 0
+    out, _ = dec.decompress(type(lv).unpack(lv.pack()))
+    plain, _ = enc.compress(frames, [[1.0, 1.0]], geometry_mode="latent")
+    out_plain, _ = dec.decompress(plain[0])
+    n_hits = 0
+    for fr, of, op in zip(frames, out, out_plain):
+        np.testing.assert_array_equal(of["points"], op["points"])
+        om = {tuple(p): c for p, c in zip(fr["points"].tolist(), fr["colors"])}
+        for p, c in zip(of["points"].tolist(), of["colors"]):
+            if tuple(p) in om:
+                n_hits += 1
+                err = np.abs(np.asarray(om[tuple(p)]) - c) * 255.0
+                assert (err <= step / 2 * 1.694 + 1.0).all(), err
+    assert n_hits > 0, "test premise: some decoded voxels must be exact hits"
+
+
+def test_color_residual_cr1_backcompat(codec, rng):
+    """Round-3 media wrote raw-RGB residuals under the CR1 tag; the decoder
+    must keep decoding them (no opponent rotation on the way out)."""
+    enc, dec = codec
+    if enc.model.config.arch != "v1":
+        pytest.skip("lossless-geometry synthesis is v1-only")
+    frames = make_frames(rng, num_frames=1, n=300)
+    step = 8
+    levels, _ = enc.compress(
+        frames, [[1.0, 1.0]], geometry_mode="lossless", lossless_color_step=step
+    )
+    lv = levels[0]
+    # re-encode the residual tail the round-3 way: raw RGB symbols, CR1 tag
+    from pct.entropy import colorres
+    from pct.pipeline.serial import _pack_occ_keys
+
+    pred, _ = dec.decompress(
+        type(lv)(
+            lv.q_g, lv.q_a, lv.y_shape, lv.z_shape, lv.y_string, lv.z_string,
+            lv.gpcc_strings, lv.ks, "lossless",
+        )
+    )
+    tgt, prd = colorres.residual_targets(frames, pred, _pack_occ_keys)
+    lv.color_transform = False
+    lv.color_scale_idx, lv.color_string = colorres.encode_residuals(
+        enc.model.gaussian_conditional, enc.gc_tables, (tgt - prd) * 255.0, step, False
+    )
+    reparsed = type(lv).unpack(lv.pack())
+    assert not reparsed.color_transform
+    out, _ = dec.decompress(reparsed)
+    for fr, of in zip(frames, out):
+        om = {tuple(p): c for p, c in zip(fr["points"].tolist(), fr["colors"])}
+        for p, c in zip(of["points"].tolist(), of["colors"]):
+            err = np.abs(np.asarray(om[tuple(p)]) - c) * 255.0
+            assert (err <= step / 2 + 1.0).all(), err  # raw-RGB bound

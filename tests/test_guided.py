@@ -214,7 +214,11 @@ def test_guided_color_residuals(codec, rng):
     uniq, first = np.unique(pts, axis=0, return_index=True)
     np.testing.assert_array_equal(of["points"], uniq)
     err = np.abs(fr["colors"][first] - of["colors"]) * 255.0
-    assert err.max() <= step / 2 + 1.0  # quantizer bound (+1 for uint8 rounding)
+    # CR2 quantizes in the orthonormal opponent basis: per-RGB-channel
+    # worst case is (step/2) x the rotation's max column L1 (1.694), +1 for
+    # uint8 rounding; RGB MSE is unchanged (rotation preserves L2)
+    assert err.max() <= step / 2 * 1.694 + 1.0
+    assert err.mean() <= step / 2
 
 
 def test_guided_multirate_and_batched_routing(codec, rng):
@@ -260,7 +264,7 @@ def test_mixed_ladder_per_rung_modes(codec, rng):
         pts = np.asarray(fr["points"], np.int32)
         _, first = np.unique(pts, axis=0, return_index=True)
         err = np.abs(fr["colors"][first] - of["colors"]) * 255.0
-        assert err.max() <= 8 / 2 + 1.0
+        assert err.max() <= 8 / 2 * 1.694 + 1.0  # CR2 opponent-basis bound
     # latent rung keeps the k contract
     for fr, of in zip(frames, outs[0]):
         assert of["points"].shape[0] == np.unique(fr["points"], axis=0).shape[0]
