@@ -129,7 +129,33 @@ def expand_width(
         else:
             grow_cb(params["g_s"][f"occ{i}"], occ_old, (27, cin_w, 8))
         cin_s, cin_w = cs, cw
-    grow_cb(params["g_s"]["rgb"], sp["g_s"]["rgb"], (27, up_w[-1], 3))
+    rgb_old = sp["g_s"]["rgb"]
+    if wide_cfg.rgb_layers == 2 and "w" in rgb_old:
+        # 1-layer conv27 [27, c, 3] -> conv27-relu-dense via x = relu(x)-relu(-x):
+        # hidden slots 0..2 carry +head (bias included), 3..5 carry -head,
+        # the dense recombines them — bit-identical colors before noise.
+        rh = wide_cfg.rgb_hidden
+        assert rh >= 6, "rgb upgrade needs rgb_hidden >= 6"
+        w1 = eps * jax.random.normal(next(keys), (27, up_w[-1], rh), jnp.float32)
+        b1 = jnp.zeros((rh,), jnp.float32)
+        w1 = w1.at[:, : up_s[-1], :3].set(rgb_old["w"])
+        w1 = w1.at[:, : up_s[-1], 3:6].set(-rgb_old["w"])
+        b1 = b1.at[:3].set(rgb_old["b"]).at[3:6].set(-rgb_old["b"])
+        eye = jnp.eye(3, dtype=jnp.float32)
+        w2 = jnp.zeros((rh, 3), jnp.float32).at[:3].set(eye).at[3:6].set(-eye)
+        params["g_s"]["rgb"] = {
+            "w1": w1, "b1": b1, "w2": w2, "b2": jnp.zeros((3,), jnp.float32)
+        }
+    elif wide_cfg.rgb_layers == 2:
+        rh = wide_cfg.rgb_hidden
+        params["g_s"]["rgb"] = {
+            "w1": _grow(next(keys), rgb_old["w1"], (27, up_w[-1], rh), eps),
+            "b1": _grow(next(keys), rgb_old["b1"], (rh,), 0.0),
+            "w2": _grow(next(keys), rgb_old["w2"], (rh, 3), eps),
+            "b2": rgb_old["b2"],
+        }
+    else:
+        grow_cb(params["g_s"]["rgb"], rgb_old, (27, up_w[-1], 3))
 
     # ---- scale_nn (fresh columns for new latent channels start near gain 1)
     hs = sp["scale_nn"]["w0"].shape[1]

@@ -120,6 +120,13 @@ class UnifiedConfig:
     # hit rate; a linear scorer tops out near 0.55 (round-2/3 measurement).
     occ_layers: int = 1
     occ_hidden: int = 32
+    # RGB-head depth (v1 synthesis): 1 = single 27-tap conv (rounds 1-3,
+    # measured color-prediction ceiling ~22.7 dB on exact hits), 2 =
+    # conv27 -> relu -> dense (hidden width ``rgb_hidden``; the dense mix
+    # costs no extra tap gathers) — the deeper/wider color tail is the
+    # direct capacity lever on hit-color fidelity (VERDICT r3 item 2).
+    rgb_layers: int = 1
+    rgb_hidden: int = 64
     # Intermediate-level keep factors (coarse -> fine): prune to
     # ``factor * k`` at the non-final synthesis levels instead of exactly k.
     # The k contract only binds the FINAL voxel count (the bitstream is
@@ -143,12 +150,21 @@ class UnifiedConfig:
     # arithmetic + gathers instead of the merge-join sort, bit-identical
     # output (equivalence pinned in tests/test_derived_kmap.py). Deletes the
     # dominant decode-side sort for every synthesis level except the
-    # coarsest. Off reproduces the SEARCHED MAP BUILD for A/B perf
-    # measurement only — it does not restore pre-round-3 candidate
-    # enumeration order (the one-sort select+compact is unconditional), so
-    # exact-float-tie top-k picks may differ from builds before commit
-    # b9cc5ae; within one build, encoder and decoder are always consistent.
-    derived_maps: bool = True
+    # coarsest. Off reproduces the SEARCHED MAP BUILD — it does not restore
+    # pre-round-3 candidate enumeration order (the one-sort select+compact
+    # is unconditional), so exact-float-tie top-k picks may differ from
+    # builds before commit b9cc5ae; within one build, encoder and decoder
+    # are always consistent.
+    #
+    # None (default) = AUTO by backend, resolved lazily at first use
+    # (``ColorModel.use_derived_maps``): measured round 4 on-chip
+    # (scripts/ab_maps.py), the derivation's duplicate-heavy row gathers hit
+    # the TPU gather-serialization cliff and LOSE to the sort-based merge
+    # joins (decode 0.41 vs 0.28 s at 76k x 5), while on CPU the sorts
+    # dominate and derivation wins (-44% encode / -24% decode, PERF.md) —
+    # so TPU/axon resolves to searched, CPU to derived. Never stored in
+    # checkpoints (pure perf, both variants bit-identical).
+    derived_maps: "bool | None" = None
 
     def __post_init__(self):
         # keep_factors is indexed kf[lvl] by the synthesis/guided paths and
@@ -173,12 +189,16 @@ class UnifiedConfig:
         for k in ("channels", "keep_factors"):
             if k in d:
                 d[k] = tuple(d[k])
+        # pure-perf, bit-identical either way: always resolve by backend
+        # (older checkpoints stored the round-3 CPU-tuned True)
+        d.pop("derived_maps", None)
         return cls(**d)
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["channels"] = list(d["channels"])
         d["keep_factors"] = list(d["keep_factors"])
+        d.pop("derived_maps", None)  # backend-resolved, never persisted
         return d
 
 
@@ -203,10 +223,27 @@ class ColorModel:
         from pct.entropy.binary import BinaryConditional
 
         self.binary_conditional = BinaryConditional()
+        self._derived_auto = None  # lazy backend-resolved derived_maps
         self.eps = self.config.eps
         from pct.ops.conv import set_compute_dtype
 
         set_compute_dtype(self.config.compute_dtype)
+
+    @property
+    def use_derived_maps(self) -> bool:
+        """Resolve ``config.derived_maps`` (None = auto by backend). Lazy —
+        ``jax.default_backend()`` initializes the backend, which must not
+        happen at config/model construction (the axon relay handshake costs
+        minutes); by the time any consumer traces a graph the backend is
+        up anyway. Deterministic per process, so shared jit traces stay
+        consistent."""
+        cfg = self.config.derived_maps
+        if cfg is not None:
+            return cfg
+        if self._derived_auto is None:
+            # sorts beat duplicate-address gathers on TPU; reversed on CPU
+            self._derived_auto = jax.default_backend() not in ("tpu", "axon")
+        return self._derived_auto
 
     # Hash/eq by static config: model objects ride through jit as static
     # arguments, and id-based hashing would retrace per instance (every
@@ -331,10 +368,19 @@ class ColorModel:
                 }
             cin = c
         if cfg.arch != "v2":
-            p["g_s"]["rgb"] = {
-                "w": _conv_init(next(keys), 27, cin, 3),
-                "b": jnp.zeros((3,), jnp.float32),
-            }
+            if cfg.rgb_layers == 2:
+                rh = cfg.rgb_hidden
+                p["g_s"]["rgb"] = {
+                    "w1": _conv_init(next(keys), 27, cin, rh),
+                    "b1": jnp.zeros((rh,), jnp.float32),
+                    "w2": _dense_init(next(keys), rh, 3),
+                    "b2": jnp.zeros((3,), jnp.float32),
+                }
+            else:
+                p["g_s"]["rgb"] = {
+                    "w": _conv_init(next(keys), 27, cin, 3),
+                    "b": jnp.zeros((3,), jnp.float32),
+                }
 
         # scale_nn: q[2] -> gain[latent]
         p["scale_nn"]["w0"] = _dense_init(next(keys), 2, cfg.scale_nn_hidden)
@@ -378,7 +424,7 @@ class ColorModel:
 
         kmaps = [None] * (L + 1)  # self map per grid (stride 2^i), [L] = y grid
         plans = [None] * L
-        if self.config.derived_maps:
+        if self.use_derived_maps:
             # The downsample pyramid depends only on coordinates: compute the
             # whole chain of DownPlans up front, build ONE searched self map
             # at the tiny y grid (1/64 of the rows), and derive every finer
@@ -492,7 +538,7 @@ class ColorModel:
         # synthesis to float32 regardless of the feature-path compute dtype.
         _set_dtype(jnp.float32)
         p = params["h_s"]
-        if self.config.derived_maps:
+        if self.use_derived_maps:
             # conv0's self map derives from the tiny z-grid map instead of a
             # merge join over the 8x-larger stride-16 expansion
             from pct.ops.conv import build_kmap
@@ -548,7 +594,7 @@ class ColorModel:
         kmap = None  # parent self map for the derived-map chain
         for i in range(self.config.num_levels):
             coords_l, mask_l = level_blocks[i]
-            if self.config.derived_maps:
+            if self.use_derived_maps:
                 # one parent-find join per level (up_features_at needs it
                 # anyway); the 13-offset self join is derived from it
                 from pct.ops.kernel_maps import derive_child_self_kmap
@@ -575,7 +621,7 @@ class ColorModel:
                 kmap = build_kmap(x, 3)
             x = sparse_conv(x, p[f"conv{i}"]["w"], p[f"conv{i}"]["b"], kmap=kmap)
             x = x.with_feats(jax.nn.relu(x.feats))
-        return sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
+        return self._rgb_head(params, x, kmap)
 
     def scale_nn(self, params: Params, q: jax.Array) -> jax.Array:
         """Quality vector [2] -> positive per-channel gain [latent] (+eps)."""
@@ -610,6 +656,18 @@ class ColorModel:
         denom = jnp.maximum(Phi(b) - Phi(a), 1e-12)
         mean = s * (phi(a) - phi(b)) / denom
         return mean - a_mag
+
+    def _rgb_head(self, params: Params, x: SparseBlock, kmap) -> SparseBlock:
+        """v1 color head at the final synthesis level (reuses its kernel
+        map). ``rgb_layers == 2``: conv27 -> relu -> dense — one extra conv's
+        worth of tap gathers, the channel mix itself is gather-free."""
+        pr = params["g_s"]["rgb"]
+        if self.config.rgb_layers == 2:
+            h = sparse_conv(x, pr["w1"], pr["b1"], kmap=kmap)
+            f = jax.nn.relu(h.feats) @ pr["w2"] + pr["b2"]
+            f = jnp.where(h.mask[:, None], f, 0)
+            return h.with_feats(f)
+        return sparse_conv(x, pr["w"], pr["b"], kmap=kmap)
 
     def occ_logits(self, params: Params, x: SparseBlock, kmap, level: int) -> jax.Array:
         """Occupancy head at synthesis level ``level``: scores the 8 child
@@ -744,7 +802,7 @@ class ColorModel:
                     x.feats, p[f"up{i}"]["w"], p[f"up{i}"]["b"], perm, km
                 )
                 x = SparseBlock(coords=kc, feats=feats, mask=km, stride=child_stride)
-                if self.config.derived_maps:
+                if self.use_derived_maps:
                     # each survivor's (parent row, slot) is its pre-sort flat
                     # candidate index — derive the child map from the parent
                     # map (kmap still holds it) instead of a merge-join sort
@@ -769,7 +827,7 @@ class ColorModel:
                 x = x.with_feats(jax.nn.relu(x.feats))
         if not v2:
             # rgb head shares the last level's coordinates -> reuse its kernel map
-            rgb = sparse_conv(x, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
+            rgb = self._rgb_head(params, x, kmap)
         if return_logits:
             return rgb, aux
         return rgb

@@ -1065,7 +1065,7 @@ class SerialDecoder:
         )
         perm = coords_lib.lex_argsort(kc, kept)[:cap_next]
         kc, km = kc[perm], kept[perm]
-        if m.config.derived_maps:
+        if m.use_derived_maps:
             from pct.ops.conv import up_features_compact
 
             feats = up_features_compact(
@@ -1085,7 +1085,7 @@ class SerialDecoder:
         child = sparse_conv(child, p[f"conv{level}"]["w"], p[f"conv{level}"]["b"], kmap=kmap)
         child = child.with_feats(jax.nn.relu(child.feats))
         if level == m.config.num_levels - 1:
-            rgb = sparse_conv(child, p["rgb"]["w"], p["rgb"]["b"], kmap=kmap)
+            rgb = m._rgb_head(params, child, kmap)
             coords16 = child.coords.astype(jnp.int16)
             colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
             return jnp.concatenate(

@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--hyper", type=int, default=64)
     ap.add_argument("--occ-layers", type=int, default=2)
     ap.add_argument("--occ-hidden", type=int, default=32)
+    ap.add_argument("--rgb-layers", type=int, default=1,
+                    help="v1 color-head depth (2 = conv27-relu-dense; upgrade an "
+                    "existing checkpoint function-preservingly via --expand-from)")
+    ap.add_argument("--rgb-hidden", type=int, default=64)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--val-every", type=int, default=500)
@@ -148,6 +152,8 @@ def main():
             family_channels=args.family,
             occ_layers=args.occ_layers,
             occ_hidden=args.occ_hidden,
+            rgb_layers=args.rgb_layers,
+            rgb_hidden=args.rgb_hidden,
         )
         model, params = expand_width(small_model, small_params, wide_cfg)
         migrated = True  # never restore optimizer state across the expansion
@@ -162,6 +168,8 @@ def main():
             family_channels=args.family,
             occ_layers=args.occ_layers,
             occ_hidden=args.occ_hidden,
+            rgb_layers=args.rgb_layers,
+            rgb_hidden=args.rgb_hidden,
         )
         model = ColorModel(cfg)
         params = model.init_params(jax.random.key(0))
