@@ -286,6 +286,162 @@ class ShardedFrameDecoder:
 
         return jax.vmap(one)(y_coords, y_mask, scales, means, y_syms, ks)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _synthesize_lossless(
+        self, params, y_coords, y_mask, scales, means, y_syms, q,
+        c4, m4, c2, m2, c1, m1,
+    ):
+        """Per-frame dequant + synthesis at the exact transmitted pyramid
+        (the sharded analog of ``SerialDecoder._phase2_lossless``) -> uint8
+        colors [B, cap1 * 3]."""
+        m = self.model
+
+        def one(coords, mask, sc, mn, syms, c4f, m4f, c2f, m2f, c1f, m1f):
+            gain = m.scale_nn(params, q)
+            sym = syms.astype(jnp.float32)
+            if m.config.use_offsets:
+                offs = m.get_offsets(sc * gain[None, :], jnp.abs(sym))
+                mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+            else:
+                mag = jnp.abs(sym)
+            y_hat = jnp.sign(sym) * mag / gain[None, :] + mn
+            y_hat = jnp.where(mask[:, None], y_hat, 0.0)
+            y = SparseBlock(coords=coords, feats=y_hat, mask=mask, stride=8)
+            rgb = m.g_s_at(params, y, [(c4f, m4f), (c2f, m2f), (c1f, m1f)])
+            return jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8).reshape(-1)
+
+        return jax.vmap(one)(y_coords, y_mask, scales, means, y_syms, c4, m4, c2, m2, c1, m1)
+
+    def _decode_lossless(self, level) -> list[dict]:
+        """Sharded decode of a lossless-geometry rung: each chip derives its
+        local frames' coordinate pyramid colors via ``g_s_at`` (serial
+        counterpart ``SerialDecoder._decompress_lossless``)."""
+        from pct.gpcc import decode_points
+
+        num_frames = level.num_frames
+        pyr = []  # per frame: (s1, s2, s4, s8) canonical, batch col 0
+        for g in level.gpcc_strings:
+            pts = decode_points(g)
+            s1 = np.concatenate([np.zeros((pts.shape[0], 1), np.int32), pts], axis=1)
+            s1 = s1[np.lexsort((s1[:, 3], s1[:, 2], s1[:, 1], s1[:, 0]))]
+
+            def down(c, f):
+                d = c.copy()
+                d[:, 1:] = (d[:, 1:] // f) * f
+                return np.unique(d, axis=0)
+
+            pyr.append((s1, down(s1, 2), down(s1, 4), down(s1, 8)))
+        ks = np.asarray(level.ks, np.int32)  # [B, L]
+        assert sum(p[0].shape[0] for p in pyr) == int(ks[:, 2].sum()), (
+            "geometry/bitstream mismatch"
+        )
+        assert sum(p[3].shape[0] for p in pyr) == level.y_shape
+
+        b_pad = -(-num_frames // self.dp) * self.dp
+        caps = [bucket_size(max(p[i].shape[0] for p in pyr)) for i in range(4)]
+        cap1, cap2, cap4, ny_cap = caps
+        nz_counts = [np.unique(p[3][:, 1:] // 32, axis=0).shape[0] for p in pyr]
+        cap_z = bucket_size(max(nz_counts))
+
+        from pct.sparse.block import PAD_COORD
+
+        pad_row = np.asarray(PAD_COORD, np.int32)
+
+        def padded(idx, cap):
+            c = np.tile(pad_row, (b_pad, cap, 1))
+            m = np.zeros((b_pad, cap), bool)
+            for b, p in enumerate(pyr):
+                s = p[idx]
+                c[b, : s.shape[0]] = s
+                m[b, : s.shape[0]] = True
+            return c, m
+
+        c1, m1 = padded(0, cap1)
+        c2, m2 = padded(1, cap2)
+        c4, m4 = padded(2, cap4)
+        y_coords = np.zeros((b_pad, ny_cap, 4), np.int32)
+        y_mask = np.zeros((b_pad, ny_cap), bool)
+        for b, p in enumerate(pyr):
+            s8 = p[3]
+            y_coords[b, : s8.shape[0]] = s8
+            y_mask[b, : s8.shape[0]] = True
+
+        # fused host z decode (frame-major stream) -> per-frame planes
+        z_all = self.model.entropy_bottleneck.decompress_symbols(
+            self.eb_tables, level.z_string, level.z_shape
+        ).T.astype(np.int16)
+        assert sum(nz_counts) == level.z_shape, "z geometry/bitstream mismatch"
+        z_syms = np.zeros((b_pad, cap_z, z_all.shape[1]), np.int16)
+        off = 0
+        for b, nz_b in enumerate(nz_counts):
+            z_syms[b, :nz_b] = z_all[off : off + nz_b]
+            off += nz_b
+
+        shard = NamedSharding(self.mesh, P("dp"))
+        rep = NamedSharding(self.mesh, P())
+        params = jax.tree.map(lambda a: jax.device_put(a, rep), self.params)
+        q = jax.device_put(np.asarray([level.q_g, level.q_a], np.float32), rep)
+        yc_d, ym_d, sc_d, mn_d, idx_d = self._indexes(
+            params,
+            jax.device_put(y_coords, shard),
+            jax.device_put(y_mask, shard),
+            jax.device_put(z_syms, shard),
+            q,
+            cap_z,
+        )
+        idx = np.asarray(jax.device_get(idx_d))
+
+        ny_list = [p[3].shape[0] for p in pyr]
+        idx_cat = np.concatenate(
+            [idx[b, :n] for b, n in enumerate(ny_list)], axis=0
+        ).astype(np.int32)
+        syms_cat = self.model.gaussian_conditional.decompress(
+            self.gc_tables, level.y_string, idx_cat
+        ).astype(np.int16)
+        y_syms = np.zeros((b_pad, ny_cap, syms_cat.shape[1]), np.int16)
+        off = 0
+        for b, n in enumerate(ny_list):
+            y_syms[b, :n] = syms_cat[off : off + n]
+            off += n
+
+        colors = np.asarray(
+            jax.device_get(
+                self._synthesize_lossless(
+                    params, yc_d, ym_d, sc_d, mn_d,
+                    jax.device_put(y_syms, shard), q,
+                    *(jax.device_put(a, shard) for a in (c4, m4, c2, m2, c1, m1)),
+                )
+            )
+        ).reshape(b_pad, cap1, 3)
+        col_parts = [
+            colors[b, : p[0].shape[0]].astype(np.float32)
+            for b, p in enumerate(pyr)
+        ]
+        if level.color_step > 0:
+            # residuals are coded over the batched canonical order ==
+            # frame-major concat of the per-frame canonical sets
+            from pct.entropy import colorres
+
+            cat = np.concatenate(col_parts, axis=0)
+            res = colorres.decode_residuals(
+                self.model.gaussian_conditional, self.gc_tables,
+                level.color_string, level.color_scale_idx, cat.shape[0],
+                level.color_step, level.color_transform,
+            )
+            cat = np.clip(np.round(cat + res), 0, 255)
+            col_parts, off = [], 0
+            for p in pyr:
+                n = p[0].shape[0]
+                col_parts.append(cat[off : off + n])
+                off += n
+        return [
+            {
+                "points": p[0][:, 1:].astype(np.int32),
+                "colors": np.clip(c / 255.0, 0.0, 1.0),
+            }
+            for p, c in zip(pyr, col_parts)
+        ]
+
     # ------------------------------------------------------------------
     def decode(self, level) -> list[dict]:
         """Decode one representation's bitstream with frames over dp."""
@@ -295,7 +451,17 @@ class ShardedFrameDecoder:
         if isinstance(level, (bytes, bytearray)):
             level = SegmentBitstream.unpack(bytes(level))
         if level.geometry_mode == "lossless":
-            raise NotImplementedError("sharded decode handles latent-geometry rungs")
+            return self._decode_lossless(level)
+        if level.geometry_mode == "guided":
+            # the guided pyramid's occupancy bits are rANS-decoded level by
+            # level under device-computed logits; the sharded split of that
+            # host<->device ping-pong is not implemented — fail loudly
+            # rather than silently decoding the latent skeleton as if the
+            # occupancy streams weren't there
+            raise NotImplementedError(
+                "sharded decode handles latent and lossless rungs; route "
+                "guided rungs through SerialDecoder"
+            )
         num_frames = level.num_frames
         ks = np.asarray(level.ks, np.int32)  # [B, L] coarse->fine
         L = ks.shape[1]
@@ -399,7 +565,26 @@ class ShardedFrameDecoder:
             frames.append(
                 {
                     "points": coords16[m][:, 1:].astype(np.int32),
-                    "colors": np.clip(colors8[m].astype(np.float32) / 255.0, 0.0, 1.0),
+                    "colors": colors8[m].astype(np.float32),
                 }
             )
+        if level.color_step > 0:
+            # CR tail: batched canonical order == frame-major concat of the
+            # per-frame canonical buffers
+            from pct.entropy import colorres
+
+            cat = np.concatenate([f["colors"] for f in frames], axis=0)
+            res = colorres.decode_residuals(
+                self.model.gaussian_conditional, self.gc_tables,
+                level.color_string, level.color_scale_idx, cat.shape[0],
+                level.color_step, level.color_transform,
+            )
+            cat = np.clip(np.round(cat + res), 0, 255)
+            off = 0
+            for f in frames:
+                n = f["colors"].shape[0]
+                f["colors"] = cat[off : off + n]
+                off += n
+        for f in frames:
+            f["colors"] = np.clip(f["colors"] / 255.0, 0.0, 1.0)
         return frames
