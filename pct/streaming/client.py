@@ -88,6 +88,16 @@ class StreamingClient:
             adv = int(adv) if adv is not None else None
             ok = False
             if number > last:
+                if 0 <= last < number - 1:
+                    # a stalled iteration skipped grid points (the round-3
+                    # 1 fps campaign lost exactly these): the skipped
+                    # segments are already published and, with the playout
+                    # offset, still playable — backfill the recent ones
+                    # (oldest first) instead of dropping them
+                    backfill = int(self.playout_offset // self.segment_duration)
+                    for n in range(max(last + 1, number - backfill), number):
+                        if self.download_segment(n):
+                            done += 1
                 ok = self.download_segment(number)
                 last = number
             if not ok and adv is not None and adv != number and adv > last:

@@ -49,6 +49,10 @@ def main():
                          "geometry mode (exact geometry at the model rate)")
     ap.add_argument("--color-step", type=int, default=12,
                     help="lossless-rung color-residual quantization step (0 disables)")
+    ap.add_argument("--latent-color-step", default="",
+                    help="comma list of CR steps to evaluate on LATENT rungs "
+                         "(e.g. '24,32'): every setting re-encoded with the "
+                         "residual tail")
     ap.add_argument(
         "--settings",
         default="1,0;0,1;1,1;0.25,0.25;0.5,0.5",
@@ -103,6 +107,19 @@ def main():
     all_out, _ = dec.decompress_levels(levels)
     t_batched = time.time() - t0
     print(f"batched decode of {len(levels)} levels (warm): {t_batched:.3f}s", flush=True)
+    if args.latent_color_step:
+        # latent rungs + CR2 residual tail: the decoded top-k set's colors
+        # corrected toward the input (exact on hits) — the <=5 bpp / >=30 dB
+        # hit-color operating point (VERDICT r3 item 2)
+        for step in [int(s) for s in args.latent_color_step.split(",")]:
+            cr_levels, _ = enc.compress(
+                frames, settings, geometry_mode="latent",
+                lossless_color_step=step,
+            )
+            for lv in cr_levels:
+                out, _ = dec.decompress(lv)
+                levels = list(levels) + [lv]
+                all_out = list(all_out) + [out]
     if args.guided:
         # guided-occupancy mode: exact geometry on EVERY rung, occupancy
         # bits entropy-coded under the synthesis heads (binary.py); with a
