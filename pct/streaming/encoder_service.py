@@ -108,15 +108,23 @@ class Encoder:
                 for f in sampled
             ]
             modes = self.geometry_mode
-            exact_geo = self.lossless_rep or (
-                "guided" in modes or "lossless" in modes
-                if isinstance(modes, list)
-                else modes in ("guided", "lossless")
-            )
+            # a per-rung LIST is explicit intent (latent rungs support the
+            # CR tail since round 4); a scalar step keeps the conservative
+            # exact-geometry gating so the default ladder stays untouched
+            # (latent residuals cost a simulated decode per rung)
+            if isinstance(self.lossless_color_step, list):
+                steps = self.lossless_color_step
+            else:
+                exact_geo = self.lossless_rep or (
+                    "guided" in modes or "lossless" in modes
+                    if isinstance(modes, list)
+                    else modes in ("guided", "lossless")
+                )
+                steps = self.lossless_color_step if exact_geo else 0
             levels, codec_info = self.pipeline.compress(
                 fr, self.settings, geometry_mode=modes,
                 lossless_extra=self.lossless_rep,
-                lossless_color_step=self.lossless_color_step if exact_geo else 0,
+                lossless_color_step=steps,
             )
             sideinfo.update(codec_info)
             sideinfo["timestamps"].update(codec_info.get("timestamps", {}))
