@@ -31,7 +31,12 @@ import numpy as np
 nq, n_points = int(sys.argv[1]), int(sys.argv[2])
 sys.path.insert(0, {repo!r})
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+if len(sys.argv) > 3 and sys.argv[3] == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    # never mix CPU AOT artifacts into the TPU cache (PERF.md decision #6)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pct_jax_cache_cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 from pct.models import checkpoint
@@ -62,6 +67,7 @@ def main():
     ap.add_argument("--nq", default="3,4,5,6")
     ap.add_argument("--points", default="15000,76000")
     ap.add_argument("--timeout", type=int, default=1500)
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     child_src = CHILD.format(repo=REPO)
@@ -69,7 +75,8 @@ def main():
     for n_points in (int(x) for x in args.points.split(",")):
         for nq in (int(x) for x in args.nq.split(",")):
             proc = subprocess.run(
-                [sys.executable, "-c", child_src, str(nq), str(n_points)],
+                [sys.executable, "-c", child_src, str(nq), str(n_points)]
+                + (["cpu"] if args.cpu else []),
                 capture_output=True,
                 text=True,
                 timeout=args.timeout,
