@@ -28,15 +28,24 @@ import numpy as np
 
 def surface_cloud(rng, n_target: int, extent: int = 1024):
     """Voxelized spherical shell patch with smooth noise: ~n_target unique
-    voxels on a 2D surface embedded in [0, extent)^3."""
+    voxels on a 2D surface embedded in [0, extent)^3.
+
+    The shell must be CONTIGUOUS like a real scan: radial jitter is an
+    ABSOLUTE ~0.6-voxel sigma (plus a smooth structured component), not a
+    fraction of the radius — relative noise at vox10 radii (sigma ~6 voxels)
+    shredded the surface into dust whose stride-2 occupancy barely shrank,
+    silently flipping the codec into its full-capacity overflow graphs
+    (round-2/3 scale rows measured THOSE; at 800k points the 1M-row
+    full-capacity encode graph OOMs 16 GB HBM at compile). Real captures
+    shrink ~3-4x per stride level; this generator now does too (checked by
+    the caller's overflow print)."""
     # voxelized shell count ~= 4*pi*r^2 * thickness(~1.5 voxels)
     r = np.sqrt(n_target / (4 * np.pi * 1.5))
     r = float(np.clip(r, 8.0, extent / 2 - extent * 0.13))
     oversample = int(n_target * 4)
     u = rng.uniform(0, np.pi, oversample)
     v = rng.uniform(0, 2 * np.pi, oversample)
-    noise = 1.0 + 0.08 * np.sin(5 * u) * np.cos(4 * v) + 0.03 * rng.standard_normal(oversample)
-    rr = r * noise
+    rr = r * (1.0 + 0.08 * np.sin(5 * u) * np.cos(4 * v)) + 0.6 * rng.standard_normal(oversample)
     c = extent / 2
     pts = np.stack(
         [

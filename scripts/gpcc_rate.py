@@ -42,15 +42,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_v1_lib() -> ctypes.CDLL | None:
-    """Compile the last-committed coder (v1 contexts) to a side .so."""
-    src = subprocess.run(
-        ["git", "-C", REPO, "show", "HEAD:pct/gpcc/cpp/gpcc.cpp"],
+    """Compile the newest committed v1-context coder to a side .so."""
+    revs = subprocess.run(
+        ["git", "-C", REPO, "log", "--format=%H", "--", "pct/gpcc/cpp/gpcc.cpp"],
         capture_output=True,
-    )
-    if src.returncode != 0:
-        return None
-    if b"v2" in src.stdout[:2048]:
-        # HEAD already carries v2 — no v1 A/B available from git
+        text=True,
+    ).stdout.split()
+    src = None
+    for rev in revs:
+        blob = subprocess.run(
+            ["git", "-C", REPO, "show", f"{rev}:pct/gpcc/cpp/gpcc.cpp"],
+            capture_output=True,
+        )
+        if blob.returncode == 0 and b"v2" not in blob.stdout[:2048]:
+            src = blob
+            break
+    if src is None:
         return None
     cpp = "/tmp/gpcc_v1.cpp"
     so = "/tmp/libgpcc_v1.so"
