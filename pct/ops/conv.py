@@ -57,6 +57,88 @@ def get_compute_dtype():
     return getattr(_DTYPE_TLS, "value", jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Banded gather (TPU): kernel-map tap gathers as windowed one-hot MXU dots.
+#
+# Round-4 on-chip measurement: XLA row gathers on TPU cost a CONSTANT ~40 ns
+# per row regardless of row width (64 B rows move at 1.7 GB/s; 576 B rows at
+# 13 GB/s — both ~25-60x below HBM bandwidth), so a 27-tap conv at 1M rows
+# spends ~400 ms just fetching taps. But kernel-map tap indexes are
+# NEAR-MONOTONIC in the query row (both coordinate sets are canonically
+# sorted; a fixed spatial offset shifts the source row by the local voxel
+# density), so within a block of B consecutive queries each tap's indexes
+# span only ~B-ish rows. The banded path exploits this: per (tap, block) it
+# slices a [2W, C] window of the source table and gathers by a one-hot
+# [B, 2W] @ [2W, C] matmul — the MXU moves the data instead of the scalar
+# gather unit. Bit-wise this reproduces the gather (1.0 * x with f32/bf16x3
+# accumulation of one nonzero term is exact); only the K-tap ACCUMULATION
+# order differs from the chunked-GEMM path (same tolerance class as
+# cross-backend XLA codegen differences, which the codec's integerized
+# index derivation already absorbs). A runtime lax.cond falls back to the
+# classic path whenever any block's in-window spread exceeds 2W.
+# ---------------------------------------------------------------------------
+
+BANDED_BLOCK = 512  # queries per banded block
+# Source-window rows per (tap, block): measured in-window spreads on real
+# surface maps are <=1050 at 150k-400k rows (p99.9 ~550); the runtime
+# fallback covers anything wider.
+BANDED_WINDOW = 1024
+BANDED_MIN_ROWS = 65536  # below this, plain gathers are cheap enough
+
+_BANDED_AUTO = None
+
+
+def use_banded_gather() -> bool:
+    """Lazy backend resolution (same pattern as ColorModel.use_derived_maps):
+    the banded path wins on TPU where row gathers are descriptor-bound; on
+    CPU plain gathers are near-memcpy and the one-hot dots would lose."""
+    import os
+
+    env = os.environ.get("PCT_BANDED_GATHER")
+    if env is not None:
+        return env not in ("0", "false", "")
+    global _BANDED_AUTO
+    if _BANDED_AUTO is None:
+        _BANDED_AUTO = jax.default_backend() in ("tpu", "axon")
+    return _BANDED_AUTO
+
+
+def _gather_gemm_banded(
+    table: jax.Array,  # [n+1, cin] (zero row appended), compute dtype
+    safe_idx: jax.Array,  # [N, K], missing -> n (zero row)
+    weight: jax.Array,  # [K, cin, cout], compute dtype
+    n_rows: int,
+) -> jax.Array:
+    """sum_k table[safe_idx[:, k]] @ weight[k] via per-(tap, block) windowed
+    one-hot dots. Caller guarantees every in-window spread < 2W (checked by
+    the lax.cond dispatch in :func:`_gather_gemm`)."""
+    N, K = safe_idx.shape
+    cin, cout = weight.shape[1], weight.shape[2]
+    B, W2 = BANDED_BLOCK, 2 * BANDED_WINDOW
+    nb = N // B
+    cdt = table.dtype
+    idx_b = safe_idx.reshape(nb, B, K)
+    missing = idx_b >= n_rows
+    masked = jnp.where(missing, jnp.int32(2**30), idx_b)
+    bases = jnp.min(masked, axis=1)  # [nb, K]
+    bases = jnp.clip(bases, 0, max(n_rows + 1 - W2, 0))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, W2), 1)
+    wmats = [weight[k].astype(cdt) for k in range(K)]
+
+    def step(carry, inp):
+        idxk, basek = inp  # [B, K], [K]
+        acc = jnp.zeros((B, cout), jnp.float32)
+        for k in range(K):
+            win = jax.lax.dynamic_slice(table, (basek[k], 0), (W2, cin))
+            oh = (idxk[:, k, None] - basek[k] == iota).astype(cdt)
+            g = jnp.dot(oh, win, preferred_element_type=cdt)
+            acc = acc + jnp.dot(g, wmats[k], preferred_element_type=jnp.float32)
+        return carry, acc
+
+    _, out = jax.lax.scan(step, None, (idx_b, bases))
+    return out.reshape(N, cout)
+
+
 def _gather_gemm(
     feats: jax.Array,
     idx: jax.Array,
@@ -79,13 +161,34 @@ def _gather_gemm(
     table = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     table = table.astype(cdt)  # cast once; the 27x tap gather reads half the bytes
     safe_idx = jnp.where(found, idx, feats.shape[0])  # missing -> zero row
-    acc = jnp.zeros((n, cout), jnp.float32)
-    for k0 in range(0, k, K_CHUNK):
-        kc = min(K_CHUNK, k - k0)
-        g = table[safe_idx[:, k0 : k0 + kc].reshape(-1)]  # [N*kc, Cin]
-        g = g.reshape(n, kc * cin)
-        w = weight[k0 : k0 + kc].reshape(kc * cin, cout).astype(cdt)
-        acc = acc + jnp.dot(g, w, preferred_element_type=jnp.float32)
+
+    def classic(_):
+        acc = jnp.zeros((n, cout), jnp.float32)
+        for k0 in range(0, k, K_CHUNK):
+            kc = min(K_CHUNK, k - k0)
+            g = table[safe_idx[:, k0 : k0 + kc].reshape(-1)]  # [N*kc, Cin]
+            g = g.reshape(n, kc * cin)
+            w = weight[k0 : k0 + kc].reshape(kc * cin, cout).astype(cdt)
+            acc = acc + jnp.dot(g, w, preferred_element_type=jnp.float32)
+        return acc
+
+    if use_banded_gather() and n >= BANDED_MIN_ROWS and n % BANDED_BLOCK == 0:
+        W2 = 2 * BANDED_WINDOW
+        idx_b = safe_idx.reshape(n // BANDED_BLOCK, BANDED_BLOCK, k)
+        missing = idx_b >= feats.shape[0]
+        masked = jnp.where(missing, jnp.int32(2**30), idx_b)
+        bases = jnp.clip(
+            jnp.min(masked, axis=1), 0, max(feats.shape[0] + 1 - W2, 0)
+        )
+        rel = jnp.where(missing, 0, idx_b - bases[:, None, :])
+        in_band = jnp.max(rel) < W2
+
+        def banded(_):
+            return _gather_gemm_banded(table, safe_idx, weight.astype(cdt), feats.shape[0])
+
+        acc = jax.lax.cond(in_band, banded, classic, operand=None)
+    else:
+        acc = classic(None)
     if bias is not None:
         acc = acc + bias
     acc = acc.astype(feats.dtype)
