@@ -85,22 +85,20 @@ BANDED_BLOCK = 512  # queries per banded block
 BANDED_WINDOW = 1024
 BANDED_MIN_ROWS = 65536  # below this, plain gathers are cheap enough
 
-_BANDED_AUTO = None
-
-
 def use_banded_gather() -> bool:
-    """Lazy backend resolution (same pattern as ColorModel.use_derived_maps):
-    the banded path wins on TPU where row gathers are descriptor-bound; on
-    CPU plain gathers are near-memcpy and the one-hot dots would lose."""
+    """Default OFF on every backend (PCT_BANDED_GATHER=1 re-enables for
+    A/B). The tap-gather microbench promised a win (row gathers are
+    descriptor-bound at ~40 ns/row on TPU), but end-to-end the banded path
+    LOSES at every measured operating point on the v5e rig — 76k x 5:
+    6.75 vs 7.19 e2e fps; 400k: 2.17 vs 2.02 s decode; 800k: 5.49 vs
+    4.94 s decode — the [B, 2W] one-hot construction + window loads cost
+    more than the gathers they replace (PERF.md round 4)."""
     import os
 
     env = os.environ.get("PCT_BANDED_GATHER")
     if env is not None:
         return env not in ("0", "false", "")
-    global _BANDED_AUTO
-    if _BANDED_AUTO is None:
-        _BANDED_AUTO = jax.default_backend() in ("tpu", "axon")
-    return _BANDED_AUTO
+    return False
 
 
 def _gather_gemm_banded(

@@ -443,25 +443,13 @@ class ShardedFrameDecoder:
         ]
 
     # ------------------------------------------------------------------
-    def decode(self, level) -> list[dict]:
-        """Decode one representation's bitstream with frames over dp."""
-        from pct.entropy.bitstream import SegmentBitstream
+    def _phase1_frames(self, level):
+        """Shared dp-sharded phase 1 for latent-layout rungs (latent and
+        guided): per-frame gpcc y-sets padded to encoder-mirrored static
+        caps, fused host z/y entropy decode split back into per-frame
+        planes, device-side (scales, means)."""
         from pct.gpcc import decode_points
 
-        if isinstance(level, (bytes, bytearray)):
-            level = SegmentBitstream.unpack(bytes(level))
-        if level.geometry_mode == "lossless":
-            return self._decode_lossless(level)
-        if level.geometry_mode == "guided":
-            # the guided pyramid's occupancy bits are rANS-decoded level by
-            # level under device-computed logits; the sharded split of that
-            # host<->device ping-pong is not implemented — fail loudly
-            # rather than silently decoding the latent skeleton as if the
-            # occupancy streams weren't there
-            raise NotImplementedError(
-                "sharded decode handles latent and lossless rungs; route "
-                "guided rungs through SerialDecoder"
-            )
         num_frames = level.num_frames
         ks = np.asarray(level.ks, np.int32)  # [B, L] coarse->fine
         L = ks.shape[1]
@@ -532,6 +520,163 @@ class ShardedFrameDecoder:
         for b, n in enumerate(ny_list):
             y_syms[b, :n] = syms_cat[off : off + n]
             off += n
+
+        return (
+            params, q, shard, yc_d, ym_d, sc_d, mn_d, y_syms, ny_list,
+            b_pad, ny_cap,
+        )
+
+    # ------------------------------------------------------------------
+    # guided-occupancy rungs: the per-level device stages vmap the SAME
+    # core functions the serial decoder jits (pct.pipeline.serial.
+    # _guided_head_core/_guided_step_core — the logits are parity-critical
+    # coding inputs), frames laid out over dp; between levels the host
+    # rANS-decodes each level's occupancy stream over the frame-major
+    # concatenation of the per-frame logit bins (== the fused encoder's
+    # batched canonical symbol order, batch is the leading sort key).
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _guided_head_frames(self, params, y_coords, y_mask, scales, means, y_syms, q):
+        from pct.pipeline.serial import _guided_head_core
+
+        def one(c, m_, sc, mn, sy):
+            blk = SparseBlock(
+                coords=c,
+                feats=jnp.zeros((c.shape[0], sy.shape[1]), jnp.float32),
+                mask=m_,
+                stride=8,
+            )
+            return _guided_head_core(self.model, params, blk, sc, mn, sy, q)
+
+        return jax.vmap(one)(y_coords, y_mask, scales, means, y_syms)
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "cap_next", "level", "stride")
+    )
+    def _guided_step_frames(
+        self, params, p_coords, p_feats, p_mask, p_kidx, p_kfound,
+        cand_coords, cand_mask, bits, cap_next, level, stride,
+    ):
+        from pct.pipeline.serial import _guided_step_core
+
+        def one(pc, pf, pm, pki, pkf, cc, cm, b):
+            return _guided_step_core(
+                self.model, params, pc, pf, pm, pki, pkf, cc, cm, b,
+                cap_next, level, stride,
+            )
+
+        return jax.vmap(one)(
+            p_coords, p_feats, p_mask, p_kidx, p_kfound,
+            cand_coords, cand_mask, bits,
+        )
+
+    def _decode_guided(self, level) -> list[dict]:
+        """Sharded decode of a guided-occupancy rung (serial counterpart
+        ``SerialDecoder._decompress_guided``)."""
+        from pct.pipeline.serial import _synth_caps
+
+        num_frames = level.num_frames
+        ks = np.asarray(level.ks, np.int32)  # [B, L] coarse->fine
+        L = ks.shape[1]
+        assert len(level.occ_strings) == L, "missing occupancy streams"
+
+        (params, q, shard, yc_d, ym_d, sc_d, mn_d, y_syms, ny_list, b_pad,
+         ny_cap) = self._phase1_frames(level)
+
+        # one static cap tuple for all frames: _synth_caps of the per-frame
+        # maxima (monotone in the per-frame counts, so it dominates every
+        # frame's own cap)
+        caps = _synth_caps(self.model, ks.max(axis=0)[:, None])
+        bc = self.model.binary_conditional
+        bc_tables = None if level.occ_calibrated else bc.update()
+
+        out = self._guided_head_frames(
+            params, yc_d, ym_d, sc_d, mn_d, jax.device_put(y_syms, shard), q
+        )
+        y_hat_d, cand_c, cand_m, bins_d, pki, pkf = out
+        p_c, p_f, p_m = yc_d, y_hat_d, ym_d
+        n_parent_list = ny_list
+        stride = 8
+        for lvl in range(L):
+            # host: rANS-decode this level's stream over the frame-major
+            # concatenation of each frame's valid logit bins (parents are
+            # compacted at the front of every per-frame block)
+            bins = np.asarray(jax.device_get(bins_d))
+            idx_cat = np.concatenate(
+                [bins[b, : 8 * n] for b, n in enumerate(n_parent_list)]
+            )
+            if level.occ_calibrated:
+                syms = bc.decompress_calibrated(level.occ_strings[lvl], idx_cat)
+            else:  # OC1: static bin-center tables (pre-round-4 media)
+                syms = bc.decompress(bc_tables, level.occ_strings[lvl], idx_cat)
+            bits = np.zeros((b_pad, int(cand_m.shape[1])), bool)
+            off = 0
+            for b, n in enumerate(n_parent_list):
+                bits[b, : 8 * n] = syms[off : off + 8 * n].astype(bool)
+                off += 8 * n
+            out = self._guided_step_frames(
+                params, p_c, p_f, p_m, pki, pkf, cand_c, cand_m,
+                jax.device_put(bits, shard), caps[lvl], lvl, stride,
+            )
+            if lvl == L - 1:
+                bufs = np.asarray(jax.device_get(out))
+                break
+            p_c, p_f, p_m, cand_c, cand_m, bins_d, pki, pkf = out
+            n_parent_list = [int(ks[b, lvl]) for b in range(num_frames)]
+            stride //= 2
+
+        cap_out = caps[-1]
+        frames = []
+        for b in range(num_frames):
+            buf = bufs[b]
+            coords16 = buf[: cap_out * 8].view(np.int16).reshape(cap_out, 4)
+            colors8 = buf[cap_out * 8 : cap_out * 11].reshape(cap_out, 3)
+            m = buf[cap_out * 11 :].astype(bool)
+            frames.append(
+                {
+                    "points": coords16[m][:, 1:].astype(np.int32),
+                    "colors": colors8[m].astype(np.float32),
+                }
+            )
+        if level.color_step > 0:
+            # CR tail: batched canonical order == frame-major concat of the
+            # per-frame canonical buffers
+            from pct.entropy import colorres
+
+            cat = np.concatenate([f["colors"] for f in frames], axis=0)
+            res = colorres.decode_residuals(
+                self.model.gaussian_conditional, self.gc_tables,
+                level.color_string, level.color_scale_idx, cat.shape[0],
+                level.color_step, level.color_transform,
+            )
+            cat = np.clip(np.round(cat + res), 0, 255)
+            off = 0
+            for f in frames:
+                n = f["colors"].shape[0]
+                f["colors"] = cat[off : off + n]
+                off += n
+        for f in frames:
+            f["colors"] = np.clip(f["colors"] / 255.0, 0.0, 1.0)
+        return frames
+
+    # ------------------------------------------------------------------
+    def decode(self, level) -> list[dict]:
+        """Decode one representation's bitstream with frames over dp."""
+        from pct.entropy.bitstream import SegmentBitstream
+        from pct.gpcc import decode_points
+
+        if isinstance(level, (bytes, bytearray)):
+            level = SegmentBitstream.unpack(bytes(level))
+        if level.geometry_mode == "lossless":
+            return self._decode_lossless(level)
+        if level.geometry_mode == "guided":
+            return self._decode_guided(level)
+        num_frames = level.num_frames
+        ks = np.asarray(level.ks, np.int32)  # [B, L] coarse->fine
+        L = ks.shape[1]
+
+        (params, q, shard, yc_d, ym_d, sc_d, mn_d, y_syms, ny_list, b_pad,
+         ny_cap) = self._phase1_frames(level)
 
         ks_pad = np.zeros((b_pad, L), np.int32)
         ks_pad[:num_frames] = ks

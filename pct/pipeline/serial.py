@@ -241,6 +241,100 @@ def _synth_caps(model: ColorModel, ks: np.ndarray) -> tuple[int, ...]:
     return tuple(caps)
 
 
+def _dequant_y_core(model, params, y_mask, scales, means, y_syms, q):
+    """Shared y-hat dequantization (gain + optional dead-zone offsets)."""
+    gain = model.scale_nn(params, q)
+    sym = y_syms.astype(jnp.float32)
+    if model.config.use_offsets:
+        offs = model.get_offsets(scales * gain[None, :], jnp.abs(sym))
+        mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
+    else:  # noise-trained synthesis: plain mid-bin reconstruction
+        mag = jnp.abs(sym)
+    y_hat = jnp.sign(sym) * mag / gain[None, :] + means
+    return jnp.where(y_mask[:, None], y_hat, 0.0)
+
+
+def _guided_head_core(model, params, y_block, scales, means, y_syms, q):
+    """Guided head math (see ``SerialDecoder._guided_head``): module-level so
+    the dp-sharded decoder can vmap the identical graph per frame
+    (``pct.parallel.infer.ShardedFrameDecoder._decode_guided``) — the logits
+    are parity-critical coding inputs, so both drivers MUST trace this one
+    function."""
+    from pct.models.unified import expand_children
+    from pct.entropy.binary import logit_bins
+    from pct.ops.conv import build_kmap, set_compute_dtype
+
+    set_compute_dtype(jnp.float32)
+    y_hat = _dequant_y_core(model, params, y_block.mask, scales, means, y_syms, q)
+    x = y_block.with_feats(y_hat)
+    kmap = build_kmap(x, 3)
+    logits = model.occ_logits(params, x, kmap, 0).reshape(-1)
+    cand_coords, cand_mask = expand_children(x)
+    # the y-grid kernel map seeds the per-level derived-map chain
+    return y_hat, cand_coords, cand_mask, logit_bins(logits), kmap[0], kmap[1]
+
+
+def _guided_step_core(
+    model, params, p_coords, p_feats, p_mask, p_kidx, p_kfound, cand_coords,
+    cand_mask, bits, cap_next, level, stride,
+):
+    """Guided per-level step math (see ``SerialDecoder._guided_step`` for the
+    contract); module-level for the same single-trace reason as
+    ``_guided_head_core``."""
+    from pct.models.unified import expand_children
+    from pct.entropy.binary import logit_bins
+    from pct.ops.conv import build_kmap, set_compute_dtype, sparse_conv, up_features_at
+    from pct.ops.kernel_maps import derive_child_self_kmap
+    from pct.sparse.block import PAD_COORD
+
+    set_compute_dtype(jnp.float32)
+    m = model
+    p = params["g_s"]
+    parent = SparseBlock(coords=p_coords, feats=p_feats, mask=p_mask, stride=stride)
+    kept = cand_mask & bits
+    kc = jnp.where(
+        kept[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
+    )
+    perm = coords_lib.lex_argsort(kc, kept)[:cap_next]
+    kc, km = kc[perm], kept[perm]
+    if m.use_derived_maps:
+        from pct.ops.conv import up_features_compact
+
+        feats = up_features_compact(
+            p_feats, p[f"up{level}"]["w"], p[f"up{level}"]["b"], perm, km
+        )
+        kmap = derive_child_self_kmap(
+            (p_kidx, p_kfound), perm // 8, perm % 8, kc, km, stride // 2
+        )
+    else:
+        feats = up_features_at(
+            parent, p[f"up{level}"]["w"], p[f"up{level}"]["b"], kc, km
+        )
+        kmap = None
+    child = SparseBlock(coords=kc, feats=feats, mask=km, stride=stride // 2)
+    if kmap is None:
+        kmap = build_kmap(child, 3)
+    child = sparse_conv(child, p[f"conv{level}"]["w"], p[f"conv{level}"]["b"], kmap=kmap)
+    child = child.with_feats(jax.nn.relu(child.feats))
+    if level == m.config.num_levels - 1:
+        rgb = m._rgb_head(params, child, kmap)
+        coords16 = child.coords.astype(jnp.int16)
+        colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
+        return jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
+                colors8.reshape(-1),
+                km.astype(jnp.uint8),
+            ]
+        )
+    logits = m.occ_logits(params, child, kmap, level + 1).reshape(-1)
+    cand2, cmask2 = expand_children(child)
+    return (
+        child.coords, child.feats, child.mask, cand2, cmask2,
+        logit_bins(logits), kmap[0], kmap[1],
+    )
+
+
 def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:
     """(per-level g_a caps, z cap) for a given input capacity."""
     if capacity <= SMALL_INPUT:
@@ -1001,36 +1095,16 @@ class SerialDecoder:
     # before int32 binning (the gaussian.py two-mechanism scheme).
 
     def _dequant_y(self, params, y_mask, scales, means, y_syms, q):
-        """Shared y-hat dequantization (gain + optional dead-zone offsets)."""
-        m = self.model
-        gain = m.scale_nn(params, q)
-        sym = y_syms.astype(jnp.float32)
-        if m.config.use_offsets:
-            offs = m.get_offsets(scales * gain[None, :], jnp.abs(sym))
-            mag = jnp.abs(sym) + jnp.where(sym == 0, 0.0, offs)
-        else:  # noise-trained synthesis: plain mid-bin reconstruction
-            mag = jnp.abs(sym)
-        y_hat = jnp.sign(sym) * mag / gain[None, :] + means
-        return jnp.where(y_mask[:, None], y_hat, 0.0)
+        return _dequant_y_core(self.model, params, y_mask, scales, means, y_syms, q)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _guided_head(self, params, y_block, scales, means, y_syms, q):
         """y-hat dequantization + level-0 candidate logits (stride 8 -> 4).
         The guided path pins float32: logits are parity-critical inputs to
         the occupancy bitstream."""
-        from pct.models.unified import expand_children
-        from pct.entropy.binary import logit_bins
-        from pct.ops.conv import build_kmap, set_compute_dtype
-
-        set_compute_dtype(jnp.float32)
-        m = self.model
-        y_hat = self._dequant_y(params, y_block.mask, scales, means, y_syms, q)
-        x = y_block.with_feats(y_hat)
-        kmap = build_kmap(x, 3)
-        logits = m.occ_logits(params, x, kmap, 0).reshape(-1)
-        cand_coords, cand_mask = expand_children(x)
-        # the y-grid kernel map seeds the per-level derived-map chain
-        return y_hat, cand_coords, cand_mask, logit_bins(logits), kmap[0], kmap[1]
+        return _guided_head_core(
+            self.model, params, y_block, scales, means, y_syms, q
+        )
 
     @functools.partial(
         jax.jit, static_argnames=("self", "cap_next", "level", "stride")
@@ -1049,57 +1123,9 @@ class SerialDecoder:
         (no merge-join sort) and each survivor's features gather directly at
         its pre-sort (parent row, slot) index — both bit-identical to the
         searched path (the logits are parity-critical coding inputs)."""
-        from pct.models.unified import expand_children
-        from pct.entropy.binary import logit_bins
-        from pct.ops.conv import build_kmap, set_compute_dtype, sparse_conv, up_features_at
-        from pct.ops.kernel_maps import derive_child_self_kmap
-        from pct.sparse.block import PAD_COORD
-
-        set_compute_dtype(jnp.float32)
-        m = self.model
-        p = params["g_s"]
-        parent = SparseBlock(coords=p_coords, feats=p_feats, mask=p_mask, stride=stride)
-        kept = cand_mask & bits
-        kc = jnp.where(
-            kept[:, None], cand_coords, jnp.array(PAD_COORD, jnp.int32)[None, :]
-        )
-        perm = coords_lib.lex_argsort(kc, kept)[:cap_next]
-        kc, km = kc[perm], kept[perm]
-        if m.use_derived_maps:
-            from pct.ops.conv import up_features_compact
-
-            feats = up_features_compact(
-                p_feats, p[f"up{level}"]["w"], p[f"up{level}"]["b"], perm, km
-            )
-            kmap = derive_child_self_kmap(
-                (p_kidx, p_kfound), perm // 8, perm % 8, kc, km, stride // 2
-            )
-        else:
-            feats = up_features_at(
-                parent, p[f"up{level}"]["w"], p[f"up{level}"]["b"], kc, km
-            )
-            kmap = None
-        child = SparseBlock(coords=kc, feats=feats, mask=km, stride=stride // 2)
-        if kmap is None:
-            kmap = build_kmap(child, 3)
-        child = sparse_conv(child, p[f"conv{level}"]["w"], p[f"conv{level}"]["b"], kmap=kmap)
-        child = child.with_feats(jax.nn.relu(child.feats))
-        if level == m.config.num_levels - 1:
-            rgb = m._rgb_head(params, child, kmap)
-            coords16 = child.coords.astype(jnp.int16)
-            colors8 = jnp.clip(jnp.round(rgb.feats * 255.0), 0, 255).astype(jnp.uint8)
-            return jnp.concatenate(
-                [
-                    jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
-                    colors8.reshape(-1),
-                    km.astype(jnp.uint8),
-                ]
-            )
-        logits = m.occ_logits(params, child, kmap, level + 1).reshape(-1)
-        cand2, cmask2 = expand_children(child)
-        return (
-            child.coords, child.feats, child.mask, cand2, cmask2,
-            logit_bins(logits), kmap[0], kmap[1],
+        return _guided_step_core(
+            self.model, params, p_coords, p_feats, p_mask, p_kidx, p_kfound,
+            cand_coords, cand_mask, bits, cap_next, level, stride,
         )
 
     def _guided_pyramid(self, level, y_block, scales, means, y_syms, q, bit_source):

@@ -208,20 +208,31 @@ def test_sharded_lossless_decode_matches_serial(setup):
             )
 
 
-def test_sharded_guided_decode_raises(setup):
-    """Guided rungs must fail loudly in the sharded decoder (their latent
-    layout would otherwise silently decode as a latent rung, ignoring the
-    occupancy streams)."""
-    import pytest
+def test_sharded_guided_decode_matches_serial(setup):
+    """Sharded guided-rung decode (per-frame vmapped guided pyramid over dp,
+    host rANS over the frame-major bin concatenation between levels)
+    reproduces the fused serial decoder exactly: exact voxel sets — hit
+    rate 1.0 is the guided mode's contract — and the same colors, with and
+    without the CR2 residual tail (VERDICT r3 item 10 remainder)."""
+    import numpy as np
     from pct.parallel import ShardedFrameDecoder
-    from pct.pipeline import SerialEncoder
+    from pct.pipeline import SerialDecoder, SerialEncoder
 
     model, params, frames, mesh, _ = setup
-    levels, _ = SerialEncoder(model, params).compress(
-        frames, [[1.0, 1.0]], geometry_mode="guided"
-    )
-    with pytest.raises(NotImplementedError):
-        ShardedFrameDecoder(model, params, mesh).decode(levels[0])
+    enc = SerialEncoder(model, params)
+    for step in (0, 8):
+        levels, _ = enc.compress(
+            frames, [[1.0, 1.0]], geometry_mode="guided", lossless_color_step=step
+        )
+        lv = levels[0]
+        serial_out, _ = SerialDecoder(model, params).decompress(lv)
+        sharded_out = ShardedFrameDecoder(model, params, mesh).decode(lv.pack())
+        assert len(sharded_out) == len(serial_out)
+        for a, b, f in zip(serial_out, sharded_out, frames):
+            want = {tuple(r) for r in np.unique(f["points"], axis=0).tolist()}
+            np.testing.assert_array_equal(a["points"], b["points"])
+            assert {tuple(r) for r in b["points"].tolist()} == want
+            np.testing.assert_allclose(a["colors"], b["colors"], atol=1.5 / 255.0)
 
 
 def test_sharded_latent_decode_applies_color_residuals(setup):
