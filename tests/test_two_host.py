@@ -1,0 +1,161 @@
+"""Two-host deployment recipe, tested cross-PROCESS: the sender half
+(capturer + encoder + media server) and the receiver half (client + decoder)
+run in separate interpreters connected only by sockets — the localhost stand-
+in for the reference's two-Jetson sender/receiver docker-compose split
+(`/root/reference/{sender,receiver}/docker-compose.yml`; VERDICT r3 missing
+item 6). configs/{sender,receiver}.yaml document the same split for real
+deployments."""
+
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+import pytest
+
+BASE_PORT = 17700
+
+
+def addr(i):
+    return f"tcp://127.0.0.1:{BASE_PORT + i}"
+
+
+DRIVER = textwrap.dedent(
+    """
+    import sys, time, yaml
+    import numpy as np
+    import jax
+    from pct.config import Config
+    from pct.models import checkpoint
+    from pct.pipeline import CompressionPipeline, DecompressionPipeline
+    from pct.streaming.launch import SystemLauncher
+
+    role, cfg_path = sys.argv[1], sys.argv[2]
+    cfg = Config.load()
+    cfg.update(yaml.safe_load(open(cfg_path)))
+    model, params = checkpoint.load(cfg["checkpoint_path"])
+    rng = np.random.default_rng(0)
+    warm = [
+        {"points": rng.integers(-50, 50, (500, 3)).astype(np.int32),
+         "colors": rng.random((500, 3)).astype(np.float32)}
+        for _ in range(2)
+    ]
+    enc = dec = None
+    if role == "sender":
+        enc = CompressionPipeline(model, params)
+        levels, _ = enc.compress(warm, cfg["encoding_settings"])
+    else:
+        dec = DecompressionPipeline(model, params)
+        e = CompressionPipeline(model, params)
+        levels, _ = e.compress(warm, cfg["encoding_settings"])
+        dec.decompress(levels[0].pack())
+    launcher = SystemLauncher(cfg, enc_pipeline=enc, dec_pipeline=dec, role=role)
+    launcher.start(max_frames=14)
+    print("READY", flush=True)
+    while True:
+        time.sleep(60)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_sender_receiver(tmp_path):
+    """A playout frame arriving at the visualizer socket proves the whole
+    cross-process loop: playback capture -> encode -> DASH publish over
+    HTTP -> client download -> decode -> playout."""
+    import yaml
+
+    from pct.models import ColorModel, UnifiedConfig, checkpoint
+    from pct.streaming import PullSocket
+
+    recording = "/root/reference/evaluation/data/test"
+    if not os.path.isdir(recording):
+        pytest.skip("no recorded data")
+
+    import jax
+
+    model = ColorModel(
+        UnifiedConfig(channels=(4, 4, 8), latent_channels=8, hyper_channels=4,
+                      scale_nn_hidden=4)
+    )
+    params = model.init_params(jax.random.key(0))
+    ckpt = str(tmp_path / "tiny.msgpack")
+    checkpoint.save(ckpt, model, params)
+
+    shared = {
+        "mode": "playback",
+        "recording_path": recording,
+        "target_fps": 2,
+        "segment_duration": 1.0,
+        "publish_offset": 6.0,
+        "playout_offset": 8.0,
+        "request_offset": 0.2,
+        "encoding_settings": [[1.0, 1.0]],
+        "prewarm_buckets": False,
+        "checkpoint_path": ckpt,
+        "encoder_address": addr(2),
+        "media_server_address": addr(3),
+        "decoder_address": addr(4),
+        "client_address": addr(5),
+        "visualizer_address": addr(6),
+        "media_server_port": BASE_PORT + 10,
+        "mpd_url": f"http://127.0.0.1:{BASE_PORT + 10}/manifest.mpd",
+        "media_dir": str(tmp_path / "media"),
+        "log_dir": str(tmp_path / "logs"),
+        "init_quality": 1,
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(shared, f)
+    driver = str(tmp_path / "driver.py")
+    with open(driver, "w") as f:
+        f.write(DRIVER)
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/pct_jax_cache_cpu",
+    })
+    view_pull = PullSocket(addr(6))
+    procs = []
+    try:
+        for role in ("receiver", "sender"):  # receiver first: client PULL binds
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, driver, role, cfg_path],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+            )
+        msg = view_pull.recv(timeout=240)
+        buf = bytes(msg["frame"])
+        n = len(buf) // 15  # 12B float32 xyz + 3B rgb per point
+        assert n > 100, f"suspiciously small frame ({n} points)"
+
+        # both halves wrote their CSV telemetry
+        deadline = time.time() + 30
+        rx = os.path.join(shared["log_dir"], "receiver", "log.csv")
+        tx = os.path.join(shared["log_dir"], "sender", "log.csv")
+        while time.time() < deadline and not (
+            os.path.exists(rx) and os.path.exists(tx)
+        ):
+            time.sleep(0.5)
+        assert os.path.exists(tx), "sender CSV missing"
+        assert os.path.exists(rx), "receiver CSV missing"
+    finally:
+        tails = []
+        for p in procs:
+            p.terminate()
+            try:
+                out = p.communicate(timeout=10)[0]
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out = p.communicate()[0]
+            tails.append(out[-2000:] if out else "")
+        view_pull.close()
+        print("\n--- subprocess tails ---\n", "\n".join(tails))
