@@ -85,8 +85,8 @@ def main():
 
     # Persistent compile cache: the TPU relay serializes remote compiles at
     # ~20-90 s per graph; cached runs skip all of it.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    from pct.utils.jaxcache import setup_compile_cache
+    setup_compile_cache(cpu=False)
     log("devices:", jax.devices())
     from pct.models import ColorModel, UnifiedConfig
     from pct.pipeline import SerialDecoder, SerialEncoder

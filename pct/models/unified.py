@@ -165,6 +165,18 @@ class UnifiedConfig:
     # so TPU/axon resolves to searched, CPU to derived. Never stored in
     # checkpoints (pure perf, both variants bit-identical).
     derived_maps: "bool | None" = None
+    # FAMILY-form synthesis convs (pct/ops/family.py): every g_s conv/occ/rgb
+    # 27-tap conv runs as 27 wide gathers over the PARENT grid instead of
+    # 27 gathers over the (8x larger, more padded) child grid — the round-5
+    # answer to the descriptor-bound decode wall (TPU row gathers cost
+    # ~40 ns/row regardless of width). Same tap sums in a different
+    # accumulation order: NOT bit-identical to the classic path (the
+    # cross-backend XLA-codegen tolerance class), so within one process all
+    # g_s consumers share one resolution, and the guided-occupancy wire
+    # format pins the profile per stream (OC3 = family, OC1/OC2 = classic).
+    # None = AUTO by backend (True on tpu/axon, False on cpu — the CPU
+    # microbench shows the FLOP overhead dominating there). Never persisted.
+    family_synth: "bool | None" = None
 
     def __post_init__(self):
         # keep_factors is indexed kf[lvl] by the synthesis/guided paths and
@@ -192,6 +204,7 @@ class UnifiedConfig:
         # pure-perf, bit-identical either way: always resolve by backend
         # (older checkpoints stored the round-3 CPU-tuned True)
         d.pop("derived_maps", None)
+        d.pop("family_synth", None)
         return cls(**d)
 
     def to_dict(self) -> dict:
@@ -199,6 +212,7 @@ class UnifiedConfig:
         d["channels"] = list(d["channels"])
         d["keep_factors"] = list(d["keep_factors"])
         d.pop("derived_maps", None)  # backend-resolved, never persisted
+        d.pop("family_synth", None)
         return d
 
 
@@ -224,6 +238,7 @@ class ColorModel:
 
         self.binary_conditional = BinaryConditional()
         self._derived_auto = None  # lazy backend-resolved derived_maps
+        self._family_auto = None  # lazy backend-resolved family_synth
         self.eps = self.config.eps
         from pct.ops.conv import set_compute_dtype
 
@@ -244,6 +259,19 @@ class ColorModel:
             # sorts beat duplicate-address gathers on TPU; reversed on CPU
             self._derived_auto = jax.default_backend() not in ("tpu", "axon")
         return self._derived_auto
+
+    @property
+    def use_family_synth(self) -> bool:
+        """Resolve ``config.family_synth`` (None = auto by backend, lazily —
+        same rationale as ``use_derived_maps``). Family-form g_s wins on TPU
+        (8x fewer gather descriptors); on CPU the extra block-GEMM FLOPs
+        dominate (measured 2.4x slower in scripts/bench_family.py --cpu)."""
+        cfg = self.config.family_synth
+        if cfg is not None:
+            return cfg
+        if self._family_auto is None:
+            self._family_auto = jax.default_backend() in ("tpu", "axon")
+        return self._family_auto
 
     # Hash/eq by static config: model objects ride through jit as static
     # arguments, and id-based hashing would retrace per instance (every
@@ -713,6 +741,10 @@ class ColorModel:
         from pct.sparse import coords as coords_lib
         from pct.sparse.block import PAD_COORD
 
+        if self.use_family_synth and self.config.arch == "v1":
+            return self._g_s_family(
+                params, y_hat, ks, level_capacities, return_logits
+            )
         _set_dtype(self.config.compute_dtype)
         p = params["g_s"]
         x = y_hat
@@ -828,6 +860,122 @@ class ColorModel:
         if not v2:
             # rgb head shares the last level's coordinates -> reuse its kernel map
             rgb = self._rgb_head(params, x, kmap)
+        if return_logits:
+            return rgb, aux
+        return rgb
+
+    def _g_s_family(
+        self,
+        params: Params,
+        y_hat: SparseBlock,
+        ks: jax.Array,
+        level_capacities: Sequence[int] | None = None,
+        return_logits: bool = False,
+    ):
+        """FAMILY-form synthesis (same k contract / candidate enumeration /
+        top-k semantics as :meth:`g_s`, different conv accumulation order —
+        see pct/ops/family.py). Every 27-tap conv runs as 27 wide gathers
+        over its PARENT grid, so:
+
+        - the survivor up-features need NO gather (the parent premultiply
+          IS the family layout),
+        - the stride-1 grid (the largest) never builds a kernel map — the
+          14 x N merge-join sort of the classic searched path is gone,
+        - per-conv gather descriptors drop 8x (the measured decode wall,
+          PERF.md round 5).
+
+        The occupancy heads of levels >= 1 also run family-form over the
+        grandparent grid; level 0's head runs classic on the (tiny) y grid.
+        """
+        from pct.ops.conv import build_kmap, build_kmap_unsorted
+        from pct.ops.family import (
+            family_conv,
+            family_keep_mask,
+            gather_family,
+        )
+        from pct.ops.topk import topk_compact
+        from pct.sparse.block import PAD_COORD
+
+        _set_dtype(self.config.compute_dtype)
+        p = params["g_s"]
+        x = y_hat
+        aux = []
+        last = self.config.num_levels - 1
+        kmap_x = build_kmap(x, 3, ks.shape[1], self._union_frac(x.stride))
+        # family representation of x (levels >= 1): feats over x's parents
+        fam_x = kept_x = perm_x = km_x = None
+        kmap_pp = pp_mask = None  # x's parent grid map/mask (occ family form)
+        rgb = None
+        for i in range(self.config.num_levels):
+            n = x.capacity
+            child_stride = x.stride // 2
+            if fam_x is None:
+                logits = self.occ_logits(params, x, kmap_x, i)  # [N, 8]
+            else:
+                po = p[f"occ{i}"]
+                if self.config.occ_layers == 2:
+                    h = family_conv(fam_x, kmap_pp, po["w1"], po["b1"], pp_mask)
+                    h = jax.nn.relu(h) * kept_x[:, :, None]
+                    lf = family_conv(h, kmap_pp, po["w2"], po["b2"], pp_mask)
+                else:
+                    lf = family_conv(fam_x, kmap_pp, po["w"], po["b"], pp_mask)
+                logits = gather_family(lf, perm_x, km_x)  # [N, 8]
+            cand_coords, cand_mask = expand_children(x)
+            flat_logits = logits.reshape(n * 8)
+            if return_logits:
+                aux.append((cand_coords, cand_mask, flat_logits))
+            kf = float(self.config.keep_factors[i]) if i < last else 1.0
+            k_eff = (
+                ks[i]
+                if kf == 1.0
+                else jnp.round(ks[i].astype(jnp.float32) * kf).astype(jnp.int32)
+            )
+            cap_i = level_capacities[i] if level_capacities is not None else n * 8
+            perm, km = topk_compact(
+                cand_coords[:, 0], flat_logits, cand_mask, k_eff, cap_i
+            )
+            kc = jnp.where(
+                km[:, None], cand_coords[perm], jnp.array(PAD_COORD, jnp.int32)[None, :]
+            )
+            if i == last:
+                # only the final level's order is observable (same contract
+                # and tie-break semantics as g_s)
+                from pct.sparse import coords as coords_lib
+
+                order = coords_lib.lex_argsort(kc, km)
+                kc, km, perm = kc[order], km[order], perm[order]
+
+            # survivor features in family layout: the parent premultiply IS
+            # the [N, 8, C] family tensor — no gather
+            premul = jnp.einsum(
+                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"],
+                preferred_element_type=x.feats.dtype,
+            ) + p[f"up{i}"]["b"]
+            kept = family_keep_mask(perm, km, n)
+            fam = family_conv(
+                premul * kept[:, :, None], kmap_x, p[f"conv{i}"]["w"],
+                p[f"conv{i}"]["b"], x.mask,
+            )
+            fam = jax.nn.relu(fam) * kept[:, :, None]
+            if i == last:
+                pr = params["g_s"]["rgb"]
+                if self.config.rgb_layers == 2:
+                    h = family_conv(fam, kmap_x, pr["w1"], pr["b1"], x.mask)
+                    h = jax.nn.relu(h) * kept[:, :, None]
+                    rgbf = gather_family(h, perm, km) @ pr["w2"] + pr["b2"]
+                    rgbf = jnp.where(km[:, None], rgbf, 0)
+                else:
+                    rf = family_conv(fam, kmap_x, pr["w"], pr["b"], x.mask)
+                    rgbf = gather_family(rf, perm, km)
+                rgb = SparseBlock(coords=kc, feats=rgbf, mask=km, stride=child_stride)
+            else:
+                kmap_pp, pp_mask = kmap_x, x.mask
+                fam_x, kept_x, perm_x, km_x = fam, kept, perm, km
+                x = SparseBlock(
+                    coords=kc, feats=gather_family(fam, perm, km), mask=km,
+                    stride=child_stride,
+                )
+                kmap_x = build_kmap_unsorted(x, 3)
         if return_logits:
             return rgb, aux
         return rgb

@@ -200,18 +200,30 @@ def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
     )
 
 
-def _synth_caps(model: ColorModel, ks: np.ndarray) -> tuple[int, ...]:
+def _synth_caps(
+    model: ColorModel, ks: np.ndarray, cap_mode: str = "tier"
+) -> tuple[int, ...]:
     """Decode-side synthesis level capacities (``ks``: [L, B], coarse->fine).
 
-    Static per encode tier: the transmitted fine count reconstructs the
-    encoder's post-dedup input bucket, and each coarser level reuses the
-    encoder's own ``LEVEL_CAP_FRACTIONS`` bound for the same grid — so one
-    tier compiles exactly ONE phase-2 graph family instead of one per live
-    density profile. (Round-3 campaign: live density variation walked the
-    per-level sum buckets mid-stream — e.g. warmed ``(8192, 24576, 65536)``
-    but hit ``(12288, 24576, 65536)`` — and every fresh tuple was a 2–130 s
-    relay compile on the hot path.) The ~1.3-2x padding this buys on the two
-    COARSE levels is cheap; the dominant fine level is exact either way.
+    ``cap_mode="tier"`` (streaming default) — static per encode tier: the
+    transmitted fine count reconstructs the encoder's post-dedup input
+    bucket, and each coarser level reuses the encoder's own
+    ``LEVEL_CAP_FRACTIONS`` bound for the same grid — so one tier compiles
+    exactly ONE phase-2 graph family instead of one per live density
+    profile. (Round-3 campaign: live density variation walked the per-level
+    sum buckets mid-stream — e.g. warmed ``(8192, 24576, 65536)`` but hit
+    ``(12288, 24576, 65536)`` — and every fresh tuple was a 2–130 s relay
+    compile on the hot path.)
+
+    ``cap_mode="counted"`` — each level gets its own half-octave bucket of
+    the transmitted counts. The conv gathers and sorts of the synthesis run
+    over capacity rows, so tier padding is paid in DEVICE TIME (the stride-2
+    tier cap is ~2.4x the actual rows at vox10 shapes); counted caps trade
+    more graph families for tight shapes — right for offline / large-scale
+    decode where the shape set is known and prewarmable, wrong for a live
+    ladder. Decoded output is bit-identical either way (capacity only pads;
+    selection, ordering and values never depend on it — pinned by
+    tests/test_counted_caps.py).
 
     If a level's actual sum exceeds the static bound (only possible when the
     encoder itself overflowed its caps and fell back to full capacity), that
@@ -231,6 +243,9 @@ def _synth_caps(model: ColorModel, ks: np.ndarray) -> tuple[int, ...]:
             need = int(ks[l].sum())
         else:
             need = int(np.round(ks[l].astype(np.float64) * factor).sum())
+        if cap_mode == "counted":
+            caps.append(int(bucket_size(need)))
+            continue
         if tier <= SMALL_INPUT or l == last:
             stat = tier
         else:
@@ -810,7 +825,13 @@ class SerialDecoder:
     ``DecompressionPipeline.decompress`` surface (reference
     ``receiver/decoder/codec_single.py:44``)."""
 
-    def __init__(self, model: ColorModel, params: Params, tables: dict | None = None):
+    def __init__(
+        self,
+        model: ColorModel,
+        params: Params,
+        tables: dict | None = None,
+        cap_mode: str = "tier",
+    ):
         self.model = model
         self.params = params
         self.eb_tables = (tables or {}).get("eb") or model.entropy_bottleneck.update(
@@ -820,6 +841,11 @@ class SerialDecoder:
         # binary occupancy tables are checkpoint-independent (64 fixed
         # logit bins) — built locally, never shipped
         self.bc_tables = model.binary_conditional.update()
+        # synthesis capacity policy (see _synth_caps): "tier" for a live
+        # ladder (one graph family per encode tier), "counted" for offline /
+        # large-scale decode (tight per-level buckets, bit-identical output)
+        assert cap_mode in ("tier", "counted"), cap_mode
+        self.cap_mode = cap_mode
 
     def __hash__(self):
         return hash((type(self).__name__, self.model.config))
@@ -1008,7 +1034,7 @@ class SerialDecoder:
             ).astype(np.int16)
 
         ks = np.asarray(lv0.ks, np.int32).T
-        caps = _synth_caps(self.model, ks)
+        caps = _synth_caps(self.model, ks, self.cap_mode)
         bufs = np.asarray(
             jax.device_get(
                 _loud_compile(
@@ -1136,7 +1162,7 @@ class SerialDecoder:
         Returns the packed last-level buffer and its static capacity."""
         m = self.model
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
-        caps = _synth_caps(m, ks)
+        caps = _synth_caps(m, ks, self.cap_mode)
         ny_cap = y_block.capacity
         y_hat, cand_c, cand_m, bins, pk_idx, pk_found = _loud_compile(
             "decode.guided_head",
@@ -1459,7 +1485,7 @@ class SerialDecoder:
         # D6 synthesis with per-frame top-k pruning
         t0 = time.time()
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
-        caps = _synth_caps(self.model, ks)
+        caps = _synth_caps(self.model, ks, self.cap_mode)
         buf = np.asarray(
             jax.device_get(
                 _loud_compile(

@@ -31,13 +31,11 @@ import numpy as np
 nq, n_points = int(sys.argv[1]), int(sys.argv[2])
 sys.path.insert(0, {repo!r})
 import jax
-if len(sys.argv) > 3 and sys.argv[3] == "cpu":
+_cpu = len(sys.argv) > 3 and sys.argv[3] == "cpu"
+if _cpu:
     jax.config.update("jax_platforms", "cpu")
-    # never mix CPU AOT artifacts into the TPU cache (PERF.md decision #6)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/pct_jax_cache_cpu")
-else:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+from pct.utils.jaxcache import setup_compile_cache
+setup_compile_cache(cpu=_cpu)
 
 from pct.models import checkpoint
 from pct.pipeline.serial import SerialDecoder, SerialEncoder

@@ -114,8 +114,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    from pct.utils.jaxcache import setup_compile_cache
+    setup_compile_cache(cpu=args.cpu)
     import jax.numpy as jnp
     from flax import serialization
 

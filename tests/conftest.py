@@ -43,7 +43,11 @@ jax.config.update("jax_platforms", "cpu")
 # jitted codec graphs; cache them across runs. Disable with PCT_NO_CPU_CACHE=1
 # (diagnostic for AOT-load crashes).
 if os.environ.get("PCT_NO_CPU_CACHE") != "1":
-    jax.config.update("jax_compilation_cache_dir", "/tmp/pct_jax_cache_cpu")
+    # per-machine dir: CPU AOT artifacts bake host CPU features (SIGILL on
+    # foreign machines) — pct.utils.jaxcache keys the path by /proc/cpuinfo
+    from pct.utils.jaxcache import cpu_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

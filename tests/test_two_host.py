@@ -69,6 +69,7 @@ def test_two_process_sender_receiver(tmp_path):
 
     from pct.models import ColorModel, UnifiedConfig, checkpoint
     from pct.streaming import PullSocket
+    from pct.utils.jaxcache import cpu_cache_dir
 
     recording = "/root/reference/evaluation/data/test"
     if not os.path.isdir(recording):
@@ -117,7 +118,7 @@ def test_two_process_sender_receiver(tmp_path):
     env.update({
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "JAX_COMPILATION_CACHE_DIR": "/tmp/pct_jax_cache_cpu",
+        "JAX_COMPILATION_CACHE_DIR": cpu_cache_dir(),
     })
     view_pull = PullSocket(addr(6))
     procs = []
