@@ -51,9 +51,18 @@ class SegmentBitstream:
     # "OC2" streams carry a per-segment empirical calibration header (64
     # uint16 bin probabilities) ahead of each level's rANS payload
     # (pct/entropy/binary.py::compress_calibrated); "OC1" streams code under
-    # the static bin-center sigmoids. New encodes always write OC2; the
-    # decoder accepts both (published OC1 media keeps decoding).
+    # the static bin-center sigmoids. The decoder accepts all tags
+    # (published OC1/OC2 media keeps decoding).
     occ_calibrated: bool = True
+    # "OC3" (round 5): calibrated like OC2, but candidates are enumerated in
+    # CANDIDATE-INDEX order (parent-row-major over the previous level's
+    # sort-free compaction) and the coding logits come from the FAMILY-form
+    # pyramid (pct/pipeline/serial.py::_guided_step_fam_core) — the format
+    # bump that deletes the legacy contract's per-level 8n canonical sorts
+    # and the child-grid conv gathers (PERF.md round 5). The profile is
+    # pinned by the tag: an OC3 stream decodes through the family pyramid on
+    # any backend; OC1/OC2 always decode through the legacy pyramid.
+    occ_family: bool = False
     # Optional color-residual stream (any geometry mode): quantized
     # (target - predicted) colors, rANS-coded with the Gaussian-conditional
     # tables at the shipped per-channel scale indexes. ``color_step`` is the
@@ -97,7 +106,10 @@ class SegmentBitstream:
             out += g
         if self.geometry_mode == "guided":
             assert self.occ_strings, "guided mode requires occupancy streams"
-            out += b"OC2" if self.occ_calibrated else b"OC1"
+            if self.occ_family:
+                out += b"OC3"
+            else:
+                out += b"OC2" if self.occ_calibrated else b"OC1"
             out += struct.pack("<i", len(self.occ_strings))
             for s in self.occ_strings:
                 out += struct.pack("<i", len(s))
@@ -136,10 +148,12 @@ class SegmentBitstream:
         color_transform = True
         occ_strings: list[bytes] = []
         occ_calibrated = True
+        occ_family = False
         while off + 3 <= len(data):
             tag = data[off : off + 3]
-            if tag in (b"OC1", b"OC2"):
-                occ_calibrated = tag == b"OC2"
+            if tag in (b"OC1", b"OC2", b"OC3"):
+                occ_calibrated = tag != b"OC1"
+                occ_family = tag == b"OC3"
                 off += 3
                 (n_occ,) = take("<i")
                 for _ in range(n_occ):
@@ -158,6 +172,7 @@ class SegmentBitstream:
         return cls(
             q_g, q_a, y_shape, z_shape, y_string, z_string, gpcc_strings, ks, mode,
             occ_strings=occ_strings, occ_calibrated=occ_calibrated,
+            occ_family=occ_family,
             color_step=color_step,
             color_scale_idx=color_scale_idx, color_string=color_string,
             color_transform=color_transform,

@@ -54,6 +54,25 @@ def topk_per_batch_mask(
     return jnp.zeros((n,), bool).at[orig].set(keep_sorted)
 
 
+def compact_mask(keep_full: jax.Array, cap: int) -> tuple[jax.Array, jax.Array]:
+    """Compact the true rows of ``keep_full`` to a ``[cap]`` prefix in input
+    (candidate-index) order: ``(sel [cap] int32 indices, keep [cap] bool)``.
+    Cumsum + collision-free scatter — O(n), no sort. Rows beyond ``cap`` are
+    dropped (the callers' capacity-overflow contract). Shared by
+    :func:`topk_compact` and the guided-occupancy OC3 decode, whose survivor
+    set comes from decoded bits instead of a score sort."""
+    n = keep_full.shape[0]
+    pos = jnp.cumsum(keep_full.astype(jnp.int32)) - 1
+    slot = jnp.where(keep_full, jnp.minimum(pos, cap), cap)
+    sel = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    )
+    keep = jnp.zeros((cap + 1,), bool).at[slot].set(keep_full, mode="drop")[:cap]
+    return sel, keep
+
+
 def topk_compact(
     batch_ids: jax.Array,
     scores: jax.Array,
@@ -78,16 +97,7 @@ def topk_compact(
     (the callers' capacity-overflow contract).
     """
     keep_full = valid & topk_per_batch_mask(batch_ids, scores, valid, k_per_batch)
-    pos = jnp.cumsum(keep_full.astype(jnp.int32)) - 1
-    slot = jnp.where(keep_full, jnp.minimum(pos, cap), cap)
-    n = batch_ids.shape[0]
-    sel = (
-        jnp.zeros((cap + 1,), jnp.int32)
-        .at[slot]
-        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
-    )
-    keep = jnp.zeros((cap + 1,), bool).at[slot].set(keep_full, mode="drop")[:cap]
-    return sel, keep
+    return compact_mask(keep_full, cap)
 
 
 def counts_per_batch(batch_ids: jax.Array, valid: jax.Array, num_batches: int) -> jax.Array:

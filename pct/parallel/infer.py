@@ -214,6 +214,10 @@ class ShardedFrameDecoder:
             params["entropy_bottleneck"]
         )
         self.gc_tables = (tables or {}).get("gc") or model.gaussian_conditional.update()
+        # binary-occupancy tables for uncalibrated (OC1) guided rungs:
+        # checkpoint-independent, built once here instead of per decode
+        # (ADVICE r4 — SerialDecoder already caches them at construction)
+        self.bc_tables = model.binary_conditional.update()
 
     def __hash__(self):
         return hash((type(self).__name__, self.model.config, self.dp))
@@ -570,6 +574,32 @@ class ShardedFrameDecoder:
             cand_coords, cand_mask, bits,
         )
 
+    @functools.partial(
+        jax.jit, static_argnames=("self", "cap_next", "level", "stride")
+    )
+    def _guided_step_fam_frames(
+        self, params, x_coords, x_feats, x_mask, xk_idx, xk_found,
+        cand_coords, cand_mask, bits, cap_next, level, stride,
+    ):
+        """OC3 per-frame guided step (vmaps the serial decoder's
+        ``_guided_step_fam_core`` — single-trace parity, like the legacy
+        wrapper above). The OC3 enumeration (candidate-index order) is
+        frame-major in the batched pyramid because compaction preserves
+        candidate order and level-0 parents are batch-leading canonical, so
+        per-frame streams stay contiguous slices of the serial stream."""
+        from pct.pipeline.serial import _guided_step_fam_core
+
+        def one(xc, xf, xm, xki, xkf, cc, cm, b):
+            return _guided_step_fam_core(
+                self.model, params, xc, xf, xm, xki, xkf, cc, cm, b,
+                cap_next, level, stride,
+            )
+
+        return jax.vmap(one)(
+            x_coords, x_feats, x_mask, xk_idx, xk_found,
+            cand_coords, cand_mask, bits,
+        )
+
     def _decode_guided(self, level) -> list[dict]:
         """Sharded decode of a guided-occupancy rung (serial counterpart
         ``SerialDecoder._decompress_guided``)."""
@@ -588,7 +618,8 @@ class ShardedFrameDecoder:
         # frame's own cap)
         caps = _synth_caps(self.model, ks.max(axis=0)[:, None])
         bc = self.model.binary_conditional
-        bc_tables = None if level.occ_calibrated else bc.update()
+        bc_tables = self.bc_tables
+        family = level.occ_family
 
         out = self._guided_head_frames(
             params, yc_d, ym_d, sc_d, mn_d, jax.device_put(y_syms, shard), q
@@ -614,14 +645,18 @@ class ShardedFrameDecoder:
             for b, n in enumerate(n_parent_list):
                 bits[b, : 8 * n] = syms[off : off + 8 * n].astype(bool)
                 off += 8 * n
-            out = self._guided_step_frames(
+            step = self._guided_step_fam_frames if family else self._guided_step_frames
+            out = step(
                 params, p_c, p_f, p_m, pki, pkf, cand_c, cand_m,
                 jax.device_put(bits, shard), caps[lvl], lvl, stride,
             )
             if lvl == L - 1:
                 bufs = np.asarray(jax.device_get(out))
                 break
-            p_c, p_f, p_m, cand_c, cand_m, bins_d, pki, pkf = out
+            p_c, p_f, p_m, pki, pkf, cand_c, cand_m, bins_d = (
+                out if family
+                else (out[0], out[1], out[2], out[6], out[7], out[3], out[4], out[5])
+            )
             n_parent_list = [int(ks[b, lvl]) for b in range(num_frames)]
             stride //= 2
 

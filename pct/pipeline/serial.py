@@ -350,6 +350,93 @@ def _guided_step_core(
     )
 
 
+def _guided_step_fam_core(
+    model, params, x_coords, x_feats, x_mask, xk_idx, xk_found, cand_coords,
+    cand_mask, bits, cap_next, level, stride,
+):
+    """OC3 guided per-level step in FAMILY form (pct/ops/family.py).
+
+    Differences from the OC1/OC2 step (``_guided_step_core``), both wire
+    contract and compute shape:
+    - survivors stay in CANDIDATE-INDEX order (sort-free cumsum compaction)
+      — the next level's occupancy stream enumerates candidates in this
+      order, deleting the legacy contract's per-level 8n canonical sorts;
+    - the child feature conv, the rgb head, and the next level's occupancy
+      head all run family-form over the PARENT grid's kernel map (8x fewer
+      gather descriptors — the round-5 decode-wall fix);
+    - only the final level canonicalizes (its order is observable: packed
+      output + color-residual addressing), over cap rows.
+
+    Module-level for the single-trace parity reason of ``_guided_step_core``:
+    the encoder produces OC3 streams by driving THIS function with
+    ground-truth bits, so both sides compute bit-identical logits."""
+    from pct.models.unified import expand_children
+    from pct.entropy.binary import logit_bins
+    from pct.ops.conv import build_kmap_unsorted, set_compute_dtype
+    from pct.ops.family import family_conv, family_keep_mask, gather_family
+    from pct.ops.topk import compact_mask
+    from pct.sparse.block import PAD_COORD
+
+    set_compute_dtype(jnp.float32)
+    m = model
+    p = params["g_s"]
+    n = x_coords.shape[0]
+    pkmap = (xk_idx, xk_found)
+    perm, km = compact_mask(cand_mask & bits, cap_next)
+    kc = jnp.where(
+        km[:, None], cand_coords[perm], jnp.array(PAD_COORD, jnp.int32)[None, :]
+    )
+    last = level == m.config.num_levels - 1
+    if last:
+        order = coords_lib.lex_argsort(kc, km)
+        kc, km, perm = kc[order], km[order], perm[order]
+    premul = jnp.einsum(
+        "nc,tcd->ntd", x_feats, p[f"up{level}"]["w"],
+        preferred_element_type=x_feats.dtype,
+    ) + p[f"up{level}"]["b"]
+    kept = family_keep_mask(perm, km, n)
+    fam = family_conv(
+        premul * kept[:, :, None], pkmap, p[f"conv{level}"]["w"],
+        p[f"conv{level}"]["b"], x_mask,
+    )
+    fam = jax.nn.relu(fam) * kept[:, :, None]
+    if last:
+        pr = p["rgb"]
+        if m.config.rgb_layers == 2:
+            h = family_conv(fam, pkmap, pr["w1"], pr["b1"], x_mask)
+            h = jax.nn.relu(h) * kept[:, :, None]
+            rgbf = gather_family(h, perm, km) @ pr["w2"] + pr["b2"]
+            rgbf = jnp.where(km[:, None], rgbf, 0)
+        else:
+            rf = family_conv(fam, pkmap, pr["w"], pr["b"], x_mask)
+            rgbf = gather_family(rf, perm, km)
+        coords16 = kc.astype(jnp.int16)
+        colors8 = jnp.clip(jnp.round(rgbf * 255.0), 0, 255).astype(jnp.uint8)
+        return jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(coords16.reshape(-1), jnp.uint8).reshape(-1),
+                colors8.reshape(-1),
+                km.astype(jnp.uint8),
+            ]
+        )
+    child_feats = gather_family(fam, perm, km)
+    child = SparseBlock(coords=kc, feats=child_feats, mask=km, stride=stride // 2)
+    kmap_c = build_kmap_unsorted(child, 3)
+    po = p[f"occ{level + 1}"]
+    if m.config.occ_layers == 2:
+        h = family_conv(fam, pkmap, po["w1"], po["b1"], x_mask)
+        h = jax.nn.relu(h) * kept[:, :, None]
+        lf = family_conv(h, pkmap, po["w2"], po["b2"], x_mask)
+    else:
+        lf = family_conv(fam, pkmap, po["w"], po["b"], x_mask)
+    logits = gather_family(lf, perm, km).reshape(-1)
+    cand2, cmask2 = expand_children(child)
+    return (
+        kc, child_feats, km, kmap_c[0], kmap_c[1], cand2, cmask2,
+        logit_bins(logits),
+    )
+
+
 def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:
     """(per-level g_a caps, z cap) for a given input capacity."""
     if capacity <= SMALL_INPUT:
@@ -580,13 +667,18 @@ class SerialEncoder:
         it to ``geometry_mode="guided"``.
 
         Drives the DECODER's own jitted guided pyramid
-        (``SerialDecoder._guided_head`` / ``_guided_step`` — same graphs,
-        same static shapes) with ground-truth membership as the bit source:
-        the candidate logits the streams are coded under are bit-identical
-        to the ones the real decoder recomputes (same-backend structurally;
-        cross-backend via the 1/256 logit grid of ``pct/entropy/binary.py``).
-        Decoded geometry is therefore the exact input voxel set at every
-        level, at a rate equal to the occupancy heads' BCE."""
+        (``SerialDecoder._guided_head`` / ``_guided_step`` /
+        ``_guided_step_fam`` — same graphs, same static shapes) with
+        ground-truth membership as the bit source: the candidate logits the
+        streams are coded under are bit-identical to the ones the real
+        decoder recomputes (same-backend structurally; cross-backend via the
+        1/256 logit grid of ``pct/entropy/binary.py``). Decoded geometry is
+        therefore the exact input voxel set at every level, at a rate equal
+        to the occupancy heads' BCE.
+
+        New encodes write the OC3 contract (family pyramid, candidate-index
+        enumeration — pct/entropy/bitstream.py) whenever the model resolves
+        ``use_family_synth``; the stream tag pins the decode profile."""
         m = self.model
         if m.config.arch != "v1":
             raise NotImplementedError("guided geometry mode requires arch v1")
@@ -595,6 +687,7 @@ class SerialEncoder:
                 m, self.params, {"eb": self.eb_tables, "gc": self.gc_tables}
             )
         dec = self._sim_decoder
+        family = m.use_family_synth
         y_block, scales, means, y_syms, q, _ = dec._latent_phase1_host(level)
         # ground-truth occupancy key sets per synthesis level
         # (strides 2^(L-1) .. 1, i.e. 4,2,1 for the 3-level config)
@@ -627,10 +720,11 @@ class SerialEncoder:
             return bits
 
         buf, cap_out = dec._guided_pyramid(
-            level, y_block, scales, means, y_syms, q, source
+            level, y_block, scales, means, y_syms, q, source, family=family
         )
         level.geometry_mode = "guided"
         level.occ_strings = list(streams)
+        level.occ_family = family
         # the pyramid's last level IS the decoder's color prediction at the
         # exact set — return it so a color-residual attach needn't re-decode
         coords, colors, out_mask = _unpack_synth_buf(np.asarray(jax.device_get(buf)), cap_out)
@@ -949,11 +1043,18 @@ class SerialDecoder:
             ]
         )
 
-    # Max representations fused into one batched decode graph. The demo
-    # ladder is 3; a 5-way vmapped synthesis graph crashed the v5e worker
-    # ("TPU worker process crashed", round-3 eval) while the 3-way graph of
-    # the same shapes runs fine — larger batches decode in chunks of this.
-    MAX_FUSED_LEVELS = 3
+    # Max representations fused into one batched decode graph; larger
+    # batches decode in chunks of this. History: a 5-way vmapped synthesis
+    # graph crashed the v5e worker in round 3 ("TPU worker process
+    # crashed"), so this was capped at 3. The round-5 subprocess-isolated
+    # bisect (scripts/repro_fused5.py, evaluation/r5/fused5_sweep.jsonl) ran
+    # nq = 3..6 at 15k and 76k points on the v5e and every cell passed —
+    # the trigger died with the round-3 per-level sum-bucket capacity
+    # scheme (replaced by the tier scheme + fixed fractional caps in round
+    # 4, which shrank the vmapped graph family the crash lived in). Set to
+    # the highest swept count; the chunking stays as the safety valve for
+    # wider ladders.
+    MAX_FUSED_LEVELS = 6
 
     def decompress_levels(self, levels: Sequence[SegmentBitstream | bytes]):
         """Decode EVERY quality representation of one segment in one batched
@@ -1154,12 +1255,32 @@ class SerialDecoder:
             cand_coords, cand_mask, bits, cap_next, level, stride,
         )
 
-    def _guided_pyramid(self, level, y_block, scales, means, y_syms, q, bit_source):
+    @functools.partial(
+        jax.jit, static_argnames=("self", "cap_next", "level", "stride")
+    )
+    def _guided_step_fam(
+        self, params, x_coords, x_feats, x_mask, xk_idx, xk_found, cand_coords,
+        cand_mask, bits, cap_next, level, stride,
+    ):
+        """OC3 family-form guided step — see ``_guided_step_fam_core``."""
+        return _guided_step_fam_core(
+            self.model, params, x_coords, x_feats, x_mask, xk_idx, xk_found,
+            cand_coords, cand_mask, bits, cap_next, level, stride,
+        )
+
+    def _guided_pyramid(
+        self, level, y_block, scales, means, y_syms, q, bit_source,
+        family: bool = False,
+    ):
         """Drive the guided synthesis pyramid. ``bit_source(lvl, n_parent,
         cand_coords, cand_mask, bins) -> bool [8 * parent_cap]`` supplies
         each level's occupancy bits — rANS decode on the decoder, ground
         -truth membership on the encoder (which also captures the streams).
-        Returns the packed last-level buffer and its static capacity."""
+        ``family`` selects the OC3 wire contract (candidate-index
+        enumeration + family-form convs); False is the legacy OC1/OC2
+        contract (parent-grid canonical enumeration, classic convs) — old
+        published media keeps decoding bit-exactly. Returns the packed
+        last-level buffer and its static capacity."""
         m = self.model
         ks = np.asarray(level.ks, np.int32).T  # [L, B]
         caps = _synth_caps(m, ks, self.cap_mode)
@@ -1175,17 +1296,30 @@ class SerialDecoder:
         counts = [int(ks[l].sum()) for l in range(ks.shape[0])]
         for lvl in range(m.config.num_levels):
             bits = bit_source(lvl, n_parent, cand_c, cand_m, bins)
-            out = _loud_compile(
-                "decode.guided_step",
-                (lvl, cand_c.shape[0], caps[lvl]),
-                lambda: self._guided_step(
-                    self.params, p_coords, p_feats, p_mask, pk_idx, pk_found,
-                    cand_c, cand_m, jnp.asarray(bits), caps[lvl], lvl, stride,
-                ),
-            )
+            if family:
+                out = _loud_compile(
+                    "decode.guided_step_fam",
+                    (lvl, cand_c.shape[0], caps[lvl]),
+                    lambda: self._guided_step_fam(
+                        self.params, p_coords, p_feats, p_mask, pk_idx, pk_found,
+                        cand_c, cand_m, jnp.asarray(bits), caps[lvl], lvl, stride,
+                    ),
+                )
+            else:
+                out = _loud_compile(
+                    "decode.guided_step",
+                    (lvl, cand_c.shape[0], caps[lvl]),
+                    lambda: self._guided_step(
+                        self.params, p_coords, p_feats, p_mask, pk_idx, pk_found,
+                        cand_c, cand_m, jnp.asarray(bits), caps[lvl], lvl, stride,
+                    ),
+                )
             if lvl == m.config.num_levels - 1:
                 return out, caps[lvl]
-            p_coords, p_feats, p_mask, cand_c, cand_m, bins, pk_idx, pk_found = out
+            p_coords, p_feats, p_mask, pk_idx, pk_found, cand_c, cand_m, bins = (
+                out if family
+                else (out[0], out[1], out[2], out[6], out[7], out[3], out[4], out[5])
+            )
             n_parent = counts[lvl]
             stride //= 2
 
@@ -1213,7 +1347,8 @@ class SerialDecoder:
             return bits
 
         buf, cap_out = self._guided_pyramid(
-            level, y_block, scales, means, y_syms, q, source
+            level, y_block, scales, means, y_syms, q, source,
+            family=level.occ_family,
         )
         coords, colors, out_mask = _unpack_synth_buf(
             np.asarray(jax.device_get(buf)), cap_out

@@ -20,6 +20,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+import threading
 import time
 from typing import Iterator, Optional
 
@@ -51,6 +52,7 @@ class Capturer:
         self.config = config or Config.load()
         self.mode = self.config.get("mode", "playback")
         self.socket = PushSocket(self.config["encoder_address"])
+        self._stop = threading.Event()
         self.voxel_size = float(self.config.get("voxel_size", 0.005))
         self.max_points = int(self.config.get("max_points", 150_000))
         self.recording_path = self.config.get("recording_path", "")
@@ -132,11 +134,18 @@ class Capturer:
         with open(os.path.join(self.recording_path, f"frame_{index:05d}.pkl"), "wb") as f:
             pickle.dump(frame, f)
 
+    def stop(self) -> None:
+        """Graceful shutdown: run() returns after the current frame
+        (ADVICE r4 — sender services had no shutdown path)."""
+        self._stop.set()
+
     def run(self, max_frames: Optional[int] = None) -> None:
         source = (
             self.playback_frames() if self.mode == "playback" else self.camera_frames()
         )
         for i, frame in enumerate(source):
+            if self._stop.is_set():
+                return
             if self.mode == "recording":
                 self.record_frame(frame, i)
             self.socket.send(

@@ -9,6 +9,7 @@ pipelined)."""
 
 from __future__ import annotations
 
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
@@ -25,6 +26,7 @@ class Decoder:
     def __init__(self, config: Optional[Config] = None, pipeline=None, workers: int = 3):
         self.config = config or Config.load()
         self.pull = PullSocket(self.config["decoder_address"])
+        self._stop = threading.Event()
         self.push = PushSocket(self.config["client_address"])
         self.executor = ThreadPoolExecutor(max_workers=workers)
         self.pipeline = pipeline or self._default_pipeline()
@@ -140,12 +142,19 @@ class Decoder:
             example_frames=_prewarm_examples(self.config),
         )
 
+    def stop(self) -> None:
+        self._stop.set()
+        self.executor.shutdown(wait=False)
+
     def run(self, max_segments: Optional[int] = None) -> None:
         if self.config.get("prewarm_buckets", False):
             self.prewarm()
         done = 0
-        while True:
-            msg = self.pull.recv()
+        while not self._stop.is_set():
+            try:
+                msg = self.pull.recv(timeout=0.5)
+            except TimeoutError:
+                continue
             self.executor.submit(self.decode_and_send, msg)
             done += 1
             if max_segments is not None and done >= max_segments:

@@ -9,6 +9,7 @@ and compresses segments on a 3-worker pool so consecutive GOPs overlap.
 
 from __future__ import annotations
 
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
@@ -71,6 +72,7 @@ class Encoder:
             [str(m) for m in mode_cfg] if isinstance(mode_cfg, (list, tuple)) else str(mode_cfg)
         )
         self.pull = PullSocket(self.config["encoder_address"])
+        self._stop = threading.Event()
         self.push = PushSocket(self.config["media_server_address"])
         self.executor = ThreadPoolExecutor(max_workers=workers)
         self.pipeline = pipeline or self._default_pipeline()
@@ -168,14 +170,23 @@ class Encoder:
             example_frames=_prewarm_examples(self.config),
         )
 
+    def stop(self) -> None:
+        """Graceful shutdown: unblock run() and drain the worker pool
+        (ADVICE r4 — sender services had no shutdown path)."""
+        self._stop.set()
+        self.executor.shutdown(wait=False)
+
     def run(self, max_segments: Optional[int] = None) -> None:
         if self.config.get("prewarm_buckets", False):
             self.prewarm()
         buffer: list[dict] = []
         seg_start: Optional[float] = None
         done = 0
-        while True:
-            frame = self.pull.recv()
+        while not self._stop.is_set():
+            try:
+                frame = self.pull.recv(timeout=0.5)
+            except TimeoutError:
+                continue
             t = float(frame["timestamp"])
             if seg_start is None:
                 seg_start = t

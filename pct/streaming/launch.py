@@ -92,8 +92,15 @@ class SystemLauncher:
             self._threads.append(cap)
 
     def stop(self):
-        if self.client is not None:
-            self.client.stop()
+        """Graceful shutdown of every service this launcher started — both
+        halves have real stop hooks (ADVICE r4: sender shutdown used to be
+        process-kill only)."""
+        for svc in (
+            self.capturer, self.encoder, self.server,  # sender half
+            self.decoder, self.client,  # receiver half
+        ):
+            if svc is not None:
+                svc.stop()
 
 
 if __name__ == "__main__":

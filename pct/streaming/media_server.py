@@ -89,6 +89,7 @@ class StreamingServer:
         os.makedirs(self.media_dir, exist_ok=True)
 
         self.pull = PullSocket(self.config["media_server_address"])
+        self._stop = threading.Event()
         num_levels = len(self.config.get("encoding_settings"))
         if self.config.get("lossless_rep", False):
             num_levels += 1  # the lossless-geometry top rung
@@ -157,10 +158,20 @@ class StreamingServer:
                     except ValueError:
                         pass
 
+    def stop(self) -> None:
+        """Graceful sender-side shutdown: unblock run() and stop the HTTP
+        server (ADVICE r4 — sender services had no shutdown path)."""
+        self._stop.set()
+        self.http.stop()
+
     def run(self, max_segments: Optional[int] = None) -> None:
         done = 0
-        while True:
-            self.handle_data(self.pull.recv())
+        while not self._stop.is_set():
+            try:
+                msg = self.pull.recv(timeout=0.5)
+            except TimeoutError:
+                continue
+            self.handle_data(msg)
             done += 1
             if max_segments is not None and done >= max_segments:
                 return

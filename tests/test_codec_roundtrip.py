@@ -477,3 +477,22 @@ def test_color_residual_cr1_backcompat(codec, rng):
         for p, c in zip(of["points"].tolist(), of["colors"]):
             err = np.abs(np.asarray(om[tuple(p)]) - c) * 255.0
             assert (err <= step / 2 + 1.0).all(), err  # raw-RGB bound
+
+
+def test_multirate_fused_five_levels(codec, rng):
+    """Five representations fuse into ONE batched decode graph (the round-3
+    worker crash no longer reproduces — scripts/repro_fused5.py swept nq=3..6
+    at 15k/76k points on the v5e, all green; MAX_FUSED_LEVELS is 6 with
+    chunking as the safety valve). Output must match per-level decode."""
+    enc, dec = codec
+    assert dec.MAX_FUSED_LEVELS >= 5
+    frames = make_frames(rng, num_frames=1, n=300)
+    settings = [[1.0, a / 4] for a in range(5)]
+    levels, _ = enc.compress(frames, settings)
+    batched, info = dec.decompress_levels(levels)
+    assert len(batched) == 5
+    for lv, out_q in zip(levels, batched):
+        serial_out, _ = dec.decompress(lv)
+        for a, b in zip(serial_out, out_q):
+            np.testing.assert_array_equal(a["points"], b["points"])
+            np.testing.assert_array_equal(a["colors"], b["colors"])
