@@ -22,7 +22,8 @@ from pct.streaming.transport import dumps, loads
 from pct.utils import append_csv_row, flatten_dict
 
 
-BASE_PORT = 16500
+# PID-keyed base so concurrent pytest runs on one machine never collide
+BASE_PORT = 16500 + (os.getpid() % 997) * 20
 
 
 def addr(i):

@@ -15,7 +15,8 @@ import time
 import numpy as np
 import pytest
 
-BASE_PORT = 17700
+# PID-keyed base so concurrent pytest runs on one machine never collide
+BASE_PORT = 17700 + (os.getpid() % 997) * 20
 
 
 def addr(i):
