@@ -1146,7 +1146,7 @@ class SerialDecoder:
                         y_block,
                         scales,
                         means,
-                        jnp.asarray(y_syms_q),
+                        self._device_syms(y_syms_q),
                         qs,
                         jnp.asarray(ks),
                         caps,
@@ -1180,6 +1180,41 @@ class SerialDecoder:
         # one uint8 buffer -> one device->host round trip
         return self._phase2_body(
             params, y_block, scales, means, y_syms, q, ks, level_capacities
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _expand_syms(self, y8, exc_idx, exc_val):
+        """int8 symbol plane + sparse int16 exceptions -> int16 device plane.
+
+        The decoded Gaussian symbol plane is the largest host->device upload
+        of a latent decode (ny x C x int16 ~= 19 MB at vox10 scale) and the
+        relay-attached bench rig moves host<->device bytes at ~30 MB/s, so
+        the transfer — not compute — was the decode wall's second term
+        (PERF.md round 5). Symbols are overwhelmingly in [-127, 127]
+        (entropy ~2-3 bits); upload the int8 plane plus a short exception
+        list and expand on device. Bit-exact: the plane carries a sentinel
+        at exception positions only for debuggability — the scatter
+        overwrites them with the true int16 values."""
+        plane = y8.astype(jnp.int16).reshape(-1)
+        flat = jnp.where(exc_idx >= 0, exc_idx, plane.shape[0])
+        plane = plane.at[flat].set(exc_val, mode="drop")
+        return plane.reshape(y8.shape)
+
+    def _device_syms(self, y_syms: np.ndarray):
+        """Host int16 symbol plane -> device int16 plane via the int8+
+        exceptions upload (see :meth:`_expand_syms`)."""
+        small = (y_syms >= -127) & (y_syms <= 127)
+        n_exc = int((~small).sum())
+        exc_cap = int(bucket_size(max(n_exc, 1), minimum=64))
+        flat_idx = np.full((exc_cap,), -1, np.int32)
+        vals = np.zeros((exc_cap,), np.int16)
+        if n_exc:
+            pos = np.nonzero(~small.reshape(-1))[0].astype(np.int32)
+            flat_idx[:n_exc] = pos
+            vals[:n_exc] = y_syms.reshape(-1)[pos]
+        plane8 = np.where(small, y_syms, -128).astype(np.int8)
+        return self._expand_syms(
+            jnp.asarray(plane8), jnp.asarray(flat_idx), jnp.asarray(vals)
         )
 
     @staticmethod
@@ -1471,7 +1506,7 @@ class SerialDecoder:
         colors8 = np.asarray(
             jax.device_get(
                 self._phase2_lossless(
-                    self.params, y_block, scales, means, jnp.asarray(y_syms), q,
+                    self.params, y_block, scales, means, self._device_syms(y_syms), q,
                     c4, m4, c2, m2, c1, m1,
                 )
             )
@@ -1560,6 +1595,8 @@ class SerialDecoder:
         y_syms = np.concatenate(
             [symbols, np.zeros((ny_cap - ny, symbols.shape[1]), np.int16)], axis=0
         )
+        # int8 + exceptions upload: halves the largest host->device transfer
+        y_syms = self._device_syms(y_syms)
         t_gaussian = time.time() - t0
         times = {
             "geometry_decompression": t_geometry,
@@ -1631,7 +1668,7 @@ class SerialDecoder:
                         y_block,
                         scales,
                         means,
-                        jnp.asarray(y_syms),
+                        y_syms,  # device plane (see _device_syms)
                         q,
                         jnp.asarray(ks),
                         caps,

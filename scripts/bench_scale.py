@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
+        "--bf16", action="store_true",
+        help="A/B: run the feature path (conv gathers + GEMMs) in bfloat16 "
+        "(compute_dtype override; the parity-critical hyperprior path stays "
+        "float32 by construction — pct/models/unified.py h_s)",
+    )
+    ap.add_argument(
         "--cap-mode", default="counted", choices=("tier", "counted"),
         help="decoder synthesis capacity policy (counted = tight per-level "
         "buckets, the right policy for offline scale measurement; output is "
@@ -97,6 +103,13 @@ def main():
     else:
         model = ColorModel(UnifiedConfig(channels=(16, 32, 64), latent_channels=64, hyper_channels=32))
         params, tables = model.init_params(jax.random.key(0)), None
+    if args.bf16:
+        import dataclasses
+
+        model = ColorModel(
+            dataclasses.replace(model.config, compute_dtype="bfloat16")
+        )
+        print("compute_dtype override: bfloat16", flush=True)
     enc = SerialEncoder(model, params, tables)
     dec = SerialDecoder(model, params, tables, cap_mode=args.cap_mode)
     settings = [[1.0, 1.0]]

@@ -48,6 +48,12 @@ def aggregate_trace(trace_dir: str, top: int) -> list[tuple[str, float, int]]:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
+        # XLA fusions carry the source op path in args (tf_op / long_name) —
+        # fold it into the key so fusion.NN becomes attributable
+        a = e.get("args", {}) or {}
+        src = a.get("tf_op") or a.get("long_name") or a.get("name") or ""
+        if src:
+            name = f"{name} <- {src}"
         agg.setdefault(name, [0.0, 0])
         agg[name][0] += e.get("dur", 0.0) / 1e3  # us -> ms
         agg[name][1] += 1
@@ -62,6 +68,7 @@ def main():
     ap.add_argument("--points", type=int, default=400_000)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--encode", action="store_true", help="also trace the encode graph")
     ap.add_argument("--trace-dir", default="/tmp/pct_phase2_trace")
     args = ap.parse_args()
 
@@ -97,7 +104,17 @@ def main():
     print("traced decode steps:", flush=True)
     print(json.dumps({k: round(v, 4) for k, v in info["time_measurements"].items()}))
     for name, ms, cnt in aggregate_trace(args.trace_dir, args.top):
-        print(json.dumps({"op": name[:90], "ms": round(ms, 2), "n": cnt}), flush=True)
+        print(json.dumps({"op": name[:160], "ms": round(ms, 2), "n": cnt}), flush=True)
+
+    if args.encode:
+        enc_dir = args.trace_dir + "_enc"
+        os.makedirs(enc_dir, exist_ok=True)
+        with jax.profiler.trace(enc_dir):
+            levels, info = enc.compress(frames, [[1.0, 1.0]])
+        print("traced encode steps:", flush=True)
+        print(json.dumps({k: round(v, 4) for k, v in info["time_measurements"].items()}))
+        for name, ms, cnt in aggregate_trace(enc_dir, args.top):
+            print(json.dumps({"op": name[:160], "ms": round(ms, 2), "n": cnt}), flush=True)
 
 
 if __name__ == "__main__":
