@@ -37,6 +37,34 @@ def _grow(key, old: jax.Array, new_shape: tuple[int, ...], eps: float) -> jax.Ar
     return out.at[sl].set(old)
 
 
+def graft_refine(
+    model: ColorModel,
+    params: Params,
+    refine_levels: tuple[int, ...],
+    refine_factor: float = 2.0,
+    refine_hidden: int = 16,
+    seed: int = 0,
+) -> tuple[ColorModel, Params]:
+    """Graft two-stage-selection refine heads onto a trained checkpoint
+    (``UnifiedConfig.refine_levels``). The heads' output layers are zero, so
+    the grafted model selects bit-identically to the source until the heads
+    train — the intended warm start for the round-5 hit-rate work."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        model.config,
+        refine_levels=tuple(refine_levels),
+        refine_factor=refine_factor,
+        refine_hidden=refine_hidden,
+    )
+    new_model = ColorModel(cfg)
+    fresh = new_model.init_params(jax.random.key(seed))
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for lvl in refine_levels:
+        out["g_s"][f"refine{lvl}"] = fresh["g_s"][f"refine{lvl}"]
+    return new_model, out
+
+
 def expand_width(
     small_model: ColorModel,
     small_params: Params,

@@ -165,6 +165,24 @@ class UnifiedConfig:
     # so TPU/axon resolves to searched, CPU to derived. Never stored in
     # checkpoints (pure perf, both variants bit-identical).
     derived_maps: "bool | None" = None
+    # Two-stage fine-level selection (the round-5 architectural hit-rate
+    # lever — VERDICT r4 item 2): at each level listed here, g_s first keeps
+    # a PROVISIONAL ``refine_factor * k`` survivor set under the parent-grid
+    # head's scores, builds the survivors' up-features, re-scores them with a
+    # small 27-tap conv over the provisional CHILD grid (context the
+    # parent-grid head cannot see: which of the jitter-adjacent candidates
+    # its own neighborhood actually supports), and only then prunes to
+    # exactly ``k`` under ``base_logit + refine_residual``. The wire format
+    # is untouched (same y, same k counts — rate multiplier is exactly 1.0
+    # by construction); only WHICH voxels survive changes, and the
+    # downstream feature semantics are exactly the baseline's (features are
+    # rebuilt from the final survivor set). The residual head's output
+    # layer is zero-initialized, so a grafted untrained head reproduces the
+    # base selection bit-for-bit. Carried in the checkpoint (decode must
+    # prune identically). Levels index coarse->fine (0..num_levels-1).
+    refine_levels: tuple[int, ...] = ()
+    refine_factor: float = 2.0
+    refine_hidden: int = 16
     # FAMILY-form synthesis convs (pct/ops/family.py): every g_s conv/occ/rgb
     # 27-tap conv runs as 27 wide gathers over the PARENT grid instead of
     # 27 gathers over the (8x larger, more padded) child grid — the round-5
@@ -194,11 +212,18 @@ class UnifiedConfig:
                 f"channels has {len(self.channels)} entries; "
                 f"num_levels={self.num_levels} required"
             )
+        if self.refine_levels:
+            if self.arch != "v1":
+                raise ValueError("refine_levels is implemented for arch v1")
+            if any(l < 0 or l >= self.num_levels for l in self.refine_levels):
+                raise ValueError(f"refine_levels out of range: {self.refine_levels}")
+            if self.refine_factor <= 1.0:
+                raise ValueError("refine_factor must exceed 1.0")
 
     @classmethod
     def from_dict(cls, d: dict) -> "UnifiedConfig":
         d = dict(d)
-        for k in ("channels", "keep_factors"):
+        for k in ("channels", "keep_factors", "refine_levels"):
             if k in d:
                 d[k] = tuple(d[k])
         # pure-perf, bit-identical either way: always resolve by backend
@@ -211,6 +236,7 @@ class UnifiedConfig:
         d = dataclasses.asdict(self)
         d["channels"] = list(d["channels"])
         d["keep_factors"] = list(d["keep_factors"])
+        d["refine_levels"] = list(d["refine_levels"])
         d.pop("derived_maps", None)  # backend-resolved, never persisted
         d.pop("family_synth", None)
         return d
@@ -378,6 +404,18 @@ class ColorModel:
                 p["g_s"][f"occ{i}"] = {
                     "w": _conv_init(next(keys), 27, cin, 8),
                     "b": jnp.zeros((8,), jnp.float32),
+                }
+            if i in cfg.refine_levels:
+                # two-stage selection residual scorer over the provisional
+                # child grid: conv27(c -> rh) -> relu -> dense(rh -> 1).
+                # w2/b2 ZERO so a fresh head is selection-neutral (grafts
+                # onto trained checkpoints without disturbing them).
+                rh = cfg.refine_hidden
+                p["g_s"][f"refine{i}"] = {
+                    "w1": _conv_init(next(keys), 27, c, rh),
+                    "b1": jnp.zeros((rh,), jnp.float32),
+                    "w2": jnp.zeros((rh, 1), jnp.float32),
+                    "b2": jnp.zeros((1,), jnp.float32),
                 }
             if cfg.arch == "v2" and i == last:
                 fc = cfg.family_channels
@@ -710,6 +748,64 @@ class ColorModel:
             return sparse_conv(h, po["w2"], po["b2"], kmap=kmap).feats
         return sparse_conv(x, po["w"], po["b"], kmap=kmap).feats
 
+    def _refine_scores_classic(
+        self,
+        params: Params,
+        x: SparseBlock,
+        flat_logits: jax.Array,
+        cand_coords: jax.Array,
+        cand_mask: jax.Array,
+        k_eff: jax.Array,
+        cap_i: int,
+        level: int,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Two-stage selection, classic (compact-block) form: keep a
+        provisional ``refine_factor * k`` set under the parent-grid scores,
+        build its up-features, re-score with the refine head (27-tap conv
+        over the provisional child grid -> relu -> zero-init dense), and
+        return ``(base + residual scores, provisional keep mask)`` over the
+        flat 8n candidate array. Same math as the family form's
+        ``family_conv`` over provisionally-masked premultiplies (the usual
+        accumulation-order tolerance class)."""
+        from pct.ops.conv import build_kmap_unsorted, up_features_compact
+        from pct.ops.topk import topk_compact
+        from pct.sparse.block import PAD_COORD
+
+        n = x.capacity
+        factor = float(self.config.refine_factor)
+        k_prov = jnp.round(k_eff.astype(jnp.float32) * factor).astype(jnp.int32)
+        # static provisional capacity: per-frame k_prov <= factor*k + 0.5,
+        # so factor*cap_i plus one row per frame covers every survivor
+        cap_p = min(n * 8, int(cap_i * factor) + int(k_eff.shape[0]))
+        perm_p, km_p = topk_compact(
+            cand_coords[:, 0], flat_logits, cand_mask, k_prov, cap_p
+        )
+        kc_p = jnp.where(
+            km_p[:, None], cand_coords[perm_p], jnp.array(PAD_COORD, jnp.int32)[None, :]
+        )
+        p = params["g_s"]
+        feats_p = up_features_compact(
+            x.feats, p[f"up{level}"]["w"], p[f"up{level}"]["b"], perm_p, km_p
+        )
+        xp = SparseBlock(coords=kc_p, feats=feats_p, mask=km_p, stride=x.stride // 2)
+        pr = p[f"refine{level}"]
+        h = sparse_conv(xp, pr["w1"], pr["b1"], kmap=build_kmap_unsorted(xp, 3))
+        r = (jax.nn.relu(h.feats) @ pr["w2"].astype(h.feats.dtype))[:, 0] + pr[
+            "b2"
+        ].astype(h.feats.dtype)
+        # scatter the residual back onto flat candidate indices (perm_p
+        # entries are unique among valid rows — collision-free)
+        flat_idx = jnp.where(km_p, perm_p, n * 8)
+        resid = (
+            jnp.zeros((n * 8 + 1,), flat_logits.dtype)
+            .at[flat_idx]
+            .set(jnp.where(km_p, r.astype(flat_logits.dtype), 0), mode="drop")[: n * 8]
+        )
+        prov_keep = (
+            jnp.zeros((n * 8 + 1,), bool).at[flat_idx].set(km_p, mode="drop")[: n * 8]
+        )
+        return flat_logits + resid, prov_keep
+
     def g_s(
         self,
         params: Params,
@@ -763,7 +859,7 @@ class ColorModel:
             cand_coords, cand_mask = expand_children(x)
             flat_logits = logits.reshape(n * 8)
             if return_logits:
-                aux.append((cand_coords, cand_mask, flat_logits))
+                aux.append((i, cand_coords, cand_mask, flat_logits))
             kf = float(self.config.keep_factors[i]) if i < last else 1.0
             k_eff = (
                 ks[i]
@@ -780,6 +876,16 @@ class ColorModel:
             from pct.ops.topk import topk_compact
 
             cap_i = level_capacities[i] if level_capacities is not None else n * 8
+            if i in self.config.refine_levels:
+                # two-stage selection (see UnifiedConfig.refine_levels): the
+                # residual scorer sees the provisional CHILD grid; the final
+                # top-k runs over provisional survivors only
+                flat_logits, cand_mask = self._refine_scores_classic(
+                    params, x, flat_logits, cand_coords, cand_mask,
+                    k_eff, cap_i, i,
+                )
+                if return_logits:
+                    aux.append((i, cand_coords, cand_mask, flat_logits))
             perm, km = topk_compact(
                 cand_coords[:, 0], flat_logits, cand_mask, k_eff, cap_i
             )
@@ -923,7 +1029,7 @@ class ColorModel:
             cand_coords, cand_mask = expand_children(x)
             flat_logits = logits.reshape(n * 8)
             if return_logits:
-                aux.append((cand_coords, cand_mask, flat_logits))
+                aux.append((i, cand_coords, cand_mask, flat_logits))
             kf = float(self.config.keep_factors[i]) if i < last else 1.0
             k_eff = (
                 ks[i]
@@ -931,6 +1037,38 @@ class ColorModel:
                 else jnp.round(ks[i].astype(jnp.float32) * kf).astype(jnp.int32)
             )
             cap_i = level_capacities[i] if level_capacities is not None else n * 8
+            # survivor features in family layout: the parent premultiply IS
+            # the [N, 8, C] family tensor — no gather (computed before
+            # selection: the refine scorer consumes it too)
+            premul = jnp.einsum(
+                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"],
+                preferred_element_type=x.feats.dtype,
+            ) + p[f"up{i}"]["b"]
+            if i in self.config.refine_levels:
+                # two-stage selection, family form (same math as
+                # _refine_scores_classic): provisional keep mask, refine
+                # conv over provisionally-masked premultiplies, final top-k
+                # over provisional survivors under base + residual
+                from pct.ops.topk import topk_per_batch_mask
+
+                factor = float(self.config.refine_factor)
+                k_prov = jnp.round(
+                    k_eff.astype(jnp.float32) * factor
+                ).astype(jnp.int32)
+                keep_p = cand_mask & topk_per_batch_mask(
+                    cand_coords[:, 0], flat_logits, cand_mask, k_prov
+                )
+                kept_p = keep_p.reshape(n, 8)
+                pr = p[f"refine{i}"]
+                h = family_conv(
+                    premul * kept_p[:, :, None], kmap_x, pr["w1"], pr["b1"], x.mask
+                )
+                h = jax.nn.relu(h) * kept_p[:, :, None]
+                r = (h @ pr["w2"].astype(h.dtype))[..., 0] + pr["b2"].astype(h.dtype)
+                flat_logits = flat_logits + r.reshape(n * 8).astype(flat_logits.dtype)
+                cand_mask = keep_p
+                if return_logits:
+                    aux.append((i, cand_coords, cand_mask, flat_logits))
             perm, km = topk_compact(
                 cand_coords[:, 0], flat_logits, cand_mask, k_eff, cap_i
             )
@@ -945,12 +1083,6 @@ class ColorModel:
                 order = coords_lib.lex_argsort(kc, km)
                 kc, km, perm = kc[order], km[order], perm[order]
 
-            # survivor features in family layout: the parent premultiply IS
-            # the [N, 8, C] family tensor — no gather
-            premul = jnp.einsum(
-                "nc,tcd->ntd", x.feats, p[f"up{i}"]["w"],
-                preferred_element_type=x.feats.dtype,
-            ) + p[f"up{i}"]["b"]
             kept = family_keep_mask(perm, km, n)
             fam = family_conv(
                 premul * kept[:, :, None], kmap_x, p[f"conv{i}"]["w"],

@@ -189,7 +189,12 @@ def frame_rd_loss(
     # occupancy BCE per level against the true coordinate pyramid (the g_s
     # aux entries are the 8x candidate grids scored from parent features)
     occ_loss = jnp.float32(0.0)
-    for level, (cand_coords, cand_mask, logits) in enumerate(aux):
+    # aux entries are (level, cand_coords, cand_mask, logits); a level in
+    # config.refine_levels contributes TWO entries — the parent-grid head's
+    # scores over all candidates, then the refined scores over the
+    # provisional survivor set (mask = provisional keep) — so the refine
+    # head trains under the same BCE against the true pyramid.
+    for level, cand_coords, cand_mask, logits in aux:
         factor = 2 ** (model.config.num_levels - 1 - level)  # 4, 2, 1
         true_c, true_m = _coord_set_at_stride(block, factor)
         _, found = coords_lib.find_coords(true_c, cand_coords, true_m, cand_mask)

@@ -41,12 +41,41 @@ class TrainConfig:
     occ_level_weights: tuple = (1.0, 1.0, 1.0)
 
 
-def make_optimizer(cfg: TrainConfig):
-    if cfg.grad_clip > 0:
-        return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.learning_rate)
+def trainable_mask(params: Params, pattern: str):
+    """Bool pytree matching ``params``: True where the parameter's slash
+    -joined path matches ``pattern`` (regex search). Feed to
+    ``optax.masked`` to freeze everything else — e.g. ``pattern='refine'``
+    trains only the grafted two-stage-selection heads, which by
+    construction cannot move the coded rate (the wire bytes depend only on
+    the frozen analysis/hyper path)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def path_str(path):
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-    return optax.adam(cfg.learning_rate)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(rx.search(path_str(path))), params
+    )
+
+
+def make_optimizer(cfg: TrainConfig, params: Params | None = None, trainable_re: str = ""):
+    opt = optax.adam(cfg.learning_rate)
+    if cfg.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    if trainable_re:
+        assert params is not None, "trainable_re needs params to build the mask"
+        # optax.masked applies the inner transform to masked leaves and
+        # passes the REST THROUGH UNCHANGED — freezing needs the frozen
+        # leaves' updates zeroed first
+        frozen = jax.tree.map(
+            lambda b: not b, trainable_mask(params, trainable_re)
+        )
+        opt = optax.chain(optax.masked(optax.set_to_zero(), frozen), opt)
+    return opt
 
 
 def batch_rd_loss(model: ColorModel, cfg: TrainConfig, params: Params, batch: SparseBlock, qs: jax.Array, keys: jax.Array):

@@ -102,6 +102,17 @@ def main():
                     help="probability a frame's q is one of the demo corner settings")
     ap.add_argument("--arch", default="v1", help="model architecture: v1 | v2 (pct.models.UnifiedConfig)")
     ap.add_argument("--family", type=int, default=32, help="v2 family-mix channels")
+    ap.add_argument("--refine-levels", default="",
+                    help="enable two-stage fine-level selection at these "
+                    "synthesis levels (e.g. '1,2'): graft zero-init refine "
+                    "heads onto the resumed checkpoint and carry the config "
+                    "into the saved one (pct.models.expand.graft_refine)")
+    ap.add_argument("--refine-factor", type=float, default=2.0)
+    ap.add_argument("--refine-hidden", type=int, default=16)
+    ap.add_argument("--train-only", default="",
+                    help="regex over slash-joined param paths; parameters NOT "
+                    "matching are frozen (optax.masked). 'refine' trains only "
+                    "the refine heads — the coded rate then cannot move")
     ap.add_argument("--keep-factors", default="",
                     help="override config.keep_factors (e.g. '2,2,1'): train the "
                     "occupancy scorer against over-provisioned intermediate "
@@ -182,6 +193,24 @@ def main():
         # from the config, so train and decode stay matched
         model = ColorModel(dataclasses.replace(model.config, keep_factors=kf))
         print(f"keep_factors overridden to {kf}", flush=True)
+    if args.refine_levels:
+        from pct.models.expand import graft_refine
+
+        rl = tuple(int(x) for x in args.refine_levels.split(","))
+        if any(f"refine{l}" not in params.get("g_s", {}) for l in rl):
+            model, params = graft_refine(
+                model, params, rl, args.refine_factor, args.refine_hidden
+            )
+            migrated = True  # new param shapes: never restore optimizer state
+            print(f"grafted zero-init refine heads at levels {rl}", flush=True)
+        else:
+            import dataclasses
+
+            model = ColorModel(dataclasses.replace(
+                model.config, refine_levels=rl,
+                refine_factor=args.refine_factor,
+                refine_hidden=args.refine_hidden,
+            ))
     tcfg = TrainConfig(
         learning_rate=args.lr,
         lambda_a=args.lambda_a,
@@ -193,7 +222,9 @@ def main():
         tf_color=args.tf_color if args.arch == "v1" else 0.0,
         occ_level_weights=tuple(float(w) for w in args.occ_level_weights.split(",")),
     )
-    opt = make_optimizer(tcfg)
+    opt = make_optimizer(tcfg, params=params, trainable_re=args.train_only)
+    if args.train_only:
+        print(f"training only params matching /{args.train_only}/", flush=True)
     opt_state = opt.init(params)
     if args.resume and not migrated and os.path.exists(args.resume + ".train"):
         # NOTE: never restore across a shape migration — flax from_bytes

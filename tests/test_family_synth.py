@@ -66,7 +66,8 @@ def test_family_aux_logits_match(rng):
     _, aux_c = m_classic.g_s(params, y, ks, return_logits=True)
     _, aux_f = m_family.g_s(params, y, ks, return_logits=True)
     assert len(aux_c) == len(aux_f) == CFG.num_levels
-    for (cc, mc_, lc), (cf, mf, lf) in zip(aux_c, aux_f):
+    assert [e[0] for e in aux_c] == [e[0] for e in aux_f] == [0, 1, 2]
+    for (_, cc, mc_, lc), (_, cf, mf, lf) in zip(aux_c, aux_f):
         np.testing.assert_array_equal(np.asarray(mc_), np.asarray(mf))
         m = np.asarray(mc_)
         np.testing.assert_array_equal(np.asarray(cc)[m], np.asarray(cf)[m])
@@ -83,7 +84,7 @@ def test_family_grads_finite(rng):
     def loss(p):
         rgb, aux = m_family.g_s(p, y, ks, return_logits=True)
         l = jnp.sum(rgb.feats**2 * rgb.mask[:, None])
-        for _, mask, logits in aux:
+        for _, _, mask, logits in aux:
             l = l + jnp.sum(jnp.where(mask, logits, 0.0) ** 2) * 1e-3
         return l
 
