@@ -107,6 +107,7 @@ def prewarm_codec(
     settings: Sequence[Sequence[float]] | None = None,
     lossless: bool = False,
     geometry_mode="latent",
+    lossless_color_step=0,
     min_points: int = 2048,
     verbose: bool = True,
     example_frames: Sequence[dict] | None = None,
@@ -142,7 +143,8 @@ def prewarm_codec(
                 continue
             frames = synthetic_gop(count, num_frames, seed=tier, example_frames=example_frames)
             levels, _ = encoder.compress(
-                frames, settings, geometry_mode=geometry_mode, lossless_extra=lossless
+                frames, settings, geometry_mode=geometry_mode,
+                lossless_extra=lossless, lossless_color_step=lossless_color_step,
             )
             if decoder is not None:
                 # pipelined wrappers expose decompress() only; the batched
