@@ -410,9 +410,14 @@ class ColorModel:
                 # child grid: conv27(c -> rh) -> relu -> dense(rh -> 1).
                 # w2/b2 ZERO so a fresh head is selection-neutral (grafts
                 # onto trained checkpoints without disturbing them).
+                # input channels: the survivor's up-features PLUS its own
+                # base logit — the score FIELD over the provisional child
+                # grid is what lets the head learn ranking corrections
+                # (surface-thickness / mutual-suppression effects live in
+                # neighbors' scores, not in raw features)
                 rh = cfg.refine_hidden
                 p["g_s"][f"refine{i}"] = {
-                    "w1": _conv_init(next(keys), 27, c, rh),
+                    "w1": _conv_init(next(keys), 27, c + 1, rh),
                     "b1": jnp.zeros((rh,), jnp.float32),
                     "w2": jnp.zeros((rh, 1), jnp.float32),
                     "b2": jnp.zeros((1,), jnp.float32),
@@ -787,6 +792,11 @@ class ColorModel:
         feats_p = up_features_compact(
             x.feats, p[f"up{level}"]["w"], p[f"up{level}"]["b"], perm_p, km_p
         )
+        # append the candidate's own base logit: the refine conv then sees
+        # the score FIELD of the provisional neighborhood (same channel in
+        # the family form)
+        logit_p = jnp.where(km_p, flat_logits[perm_p], 0).astype(feats_p.dtype)
+        feats_p = jnp.concatenate([feats_p, logit_p[:, None]], axis=1)
         xp = SparseBlock(coords=kc_p, feats=feats_p, mask=km_p, stride=x.stride // 2)
         pr = p[f"refine{level}"]
         h = sparse_conv(xp, pr["w1"], pr["b1"], kmap=build_kmap_unsorted(xp, 3))
@@ -1060,9 +1070,10 @@ class ColorModel:
                 )
                 kept_p = keep_p.reshape(n, 8)
                 pr = p[f"refine{i}"]
-                h = family_conv(
-                    premul * kept_p[:, :, None], kmap_x, pr["w1"], pr["b1"], x.mask
-                )
+                fam_in = jnp.concatenate(
+                    [premul, logits.astype(premul.dtype)[:, :, None]], axis=2
+                ) * kept_p[:, :, None]
+                h = family_conv(fam_in, kmap_x, pr["w1"], pr["b1"], x.mask)
                 h = jax.nn.relu(h) * kept_p[:, :, None]
                 r = (h @ pr["w2"].astype(h.dtype))[..., 0] + pr["b2"].astype(h.dtype)
                 flat_logits = flat_logits + r.reshape(n * 8).astype(flat_logits.dtype)
