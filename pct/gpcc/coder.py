@@ -18,6 +18,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _CPP = os.path.join(_HERE, "cpp", "gpcc.cpp")
+_HDR = os.path.join(_HERE, "cpp", "priors_v3.h")
 _SO = os.path.join(_HERE, "cpp", "libgpcc.so")
 
 _lock = threading.Lock()
@@ -28,7 +29,11 @@ def _load_lib():
     global _lib
     with _lock:
         if _lib is None:
-            if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_CPP):
+            src_mtime = max(
+                os.path.getmtime(_CPP),
+                os.path.getmtime(_HDR) if os.path.exists(_HDR) else 0.0,
+            )
+            if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < src_mtime:
                 # pid-unique tmp: concurrent first-use builds must not
                 # interleave writes to one tmp file (cross-process races)
                 tmp = f"{_SO}.{os.getpid()}.tmp"

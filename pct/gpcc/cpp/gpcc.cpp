@@ -30,11 +30,21 @@
 #include <cstring>
 #include <vector>
 
+#include "priors_v3.h"
+
 namespace {
 
 constexpr int kProbBits = 11;
 constexpr uint16_t kProbInit = 1 << (kProbBits - 1);
 constexpr int kAdapt = 5;
+// v3 (header flag 0x40): initialize contexts from the pretrained prior
+// table instead of p=0.5 — small streams (latent skeletons, ~400-800
+// points) otherwise spend 2-3x their conditional-entropy bound on cold
+// contexts (measured: scripts/octree_bound.py, PERF.md round 5). Priors
+// start "warm" (cnt=kPriorWarm) so stage-2 adaptation doesn't stampede
+// away from a good prior on the first occurrence; mismatched contexts
+// still adapt within a few bits at shift 4.
+constexpr int kPriorWarm = 8;
 
 struct RangeEncoder {
   uint64_t low = 0;
@@ -278,7 +288,11 @@ int pct_gpcc_encode(const int32_t* xyz, int n, uint8_t* out, int capacity) {
 
   std::memcpy(out, &n, 4);
   std::memcpy(out + 4, mn, 12);
-  out[16] = (uint8_t)(depth | 0x80);  // high bit: v2 neighbor contexts
+  // 0x80: v2 neighbor contexts; 0x40: v3 prior-initialized contexts (small
+  // streams only — the sibling-context threshold doubles as the prior
+  // regime boundary). depth occupies the low 6 bits (<= 21 always).
+  const bool use_prior = n > 0 && n < kSibCtxMinPoints;
+  out[16] = (uint8_t)(depth | 0x80 | (use_prior ? 0x40 : 0));
   if (n == 0) return header;
 
   std::vector<uint64_t> codes(n);
@@ -291,6 +305,10 @@ int pct_gpcc_encode(const int32_t* xyz, int n, uint8_t* out, int capacity) {
   const bool use_sib = n >= kSibCtxMinPoints;
   std::vector<uint16_t> probs(kNumCtx2, kProbInit);
   std::vector<uint8_t> cnts(kNumCtx2, 0);
+  if (use_prior) {
+    probs.assign(kPriorProbsV3, kPriorProbsV3 + kNumCtx2);
+    cnts.assign(kNumCtx2, (uint8_t)kPriorWarm);
+  }
   std::vector<Node> nodes{{0u, (uint32_t)n, 8}}, next_nodes;
   std::vector<uint64_t> lvl_prefixes;
 
@@ -348,7 +366,8 @@ int pct_gpcc_decode(const uint8_t* in, int nbytes, int32_t* out_xyz, int capacit
   std::memcpy(&n, in, 4);
   std::memcpy(mn, in + 4, 12);
   bool v2 = (in[16] & 0x80) != 0;
-  int depth = in[16] & 0x7F;
+  bool use_prior = v2 && (in[16] & 0x40) != 0;
+  int depth = in[16] & (v2 ? 0x3F : 0x7F);
   if (n < 0 || n > capacity_points) return -1;
   if (n == 0) return 0;
 
@@ -357,6 +376,10 @@ int pct_gpcc_decode(const uint8_t* in, int nbytes, int32_t* out_xyz, int capacit
   const bool use_sib = n >= kSibCtxMinPoints;
   std::vector<uint16_t> probs(v2 ? kNumCtx2 : kNumCtx, kProbInit);
   std::vector<uint8_t> cnts(v2 ? kNumCtx2 : 0, 0);
+  if (use_prior) {
+    probs.assign(kPriorProbsV3, kPriorProbsV3 + kNumCtx2);
+    cnts.assign(kNumCtx2, (uint8_t)kPriorWarm);
+  }
 
   struct DNode {
     uint64_t prefix;

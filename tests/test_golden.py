@@ -43,6 +43,28 @@ def test_decoder_reads_golden(golden):
     assert out[0]["points"].shape[0] == inp["points"].shape[0]
 
 
+def test_decoder_reads_legacy_v2_streams():
+    """Deliberate format change, round 5: the octree coder gained
+    prior-initialized contexts (header flag 0x40, priors_v3.h) for small
+    streams (-18% latent-skeleton bytes on held-out frames). Streams coded
+    before the change carry no flag and MUST decode forever — these
+    fixtures are the last v2-era goldens, frozen."""
+    inp = np.load(os.path.join(GOLDEN_DIR, "segment_tiny_input.npz"))
+    data = open(os.path.join(GOLDEN_DIR, "segment_tiny_v2.bin"), "rb").read()
+    model = ColorModel(TINY)
+    params = model.init_params(jax.random.key(0))
+    out, _ = SerialDecoder(model, params).decompress(data)
+    assert out[0]["points"].shape[0] == inp["points"].shape[0]
+
+    from pct.models.geometry import GeometryCodec, GeometryConfig, GeometryModel
+
+    pts = np.load(os.path.join(GOLDEN_DIR, "geometry_tiny_points.npy"))
+    gdata = open(os.path.join(GOLDEN_DIR, "geometry_tiny_v2.bin"), "rb").read()
+    gm = GeometryModel(GeometryConfig(channels=(4, 4, 8), latent_channels=8))
+    gc = GeometryCodec(gm, gm.init_params(jax.random.key(0)))
+    assert gc.decode(gdata)[0].shape == pts.shape
+
+
 def test_geometry_codec_golden():
     from pct.models.geometry import GeometryCodec, GeometryConfig, GeometryModel
 
