@@ -192,13 +192,29 @@ def frame_rd_loss(
     # aux entries are (level, cand_coords, cand_mask, logits); a level in
     # config.refine_levels contributes TWO entries — the parent-grid head's
     # scores over all candidates, then the refined scores over the
-    # provisional survivor set (mask = provisional keep) — so the refine
-    # head trains under the same BCE against the true pyramid.
+    # provisional survivor set (mask = provisional keep).
+    #
+    # Refine entries train on per-frame STANDARDIZED scores: plain BCE on
+    # raw refined logits is minimized by recalibrating the (frozen) base
+    # scores — a monotone transform that cannot change the top-k selection
+    # (measured round 5: residuals grew to |r|~0.1 while per-level recall
+    # stayed bit-identical). Standardizing over the provisional set zeroes
+    # the shift/scale direction, so only RE-ORDERING true candidates above
+    # false ones reduces the loss — which is the selection objective.
+    seen_levels: set = set()
     for level, cand_coords, cand_mask, logits in aux:
+        is_refine = level in seen_levels
+        seen_levels.add(level)
         factor = 2 ** (model.config.num_levels - 1 - level)  # 4, 2, 1
         true_c, true_m = _coord_set_at_stride(block, factor)
         _, found = coords_lib.find_coords(true_c, cand_coords, true_m, cand_mask)
         target = found.astype(jnp.float32)
+        if is_refine:
+            mf = cand_mask.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(mf), 1.0)
+            mu = jnp.sum(logits * mf) / cnt
+            sd = jnp.sqrt(jnp.sum(mf * (logits - mu) ** 2) / cnt + 1e-6)
+            logits = (logits - mu) / sd * 3.0  # tau=3: typical logit scale
         bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         # per-level weight: strict-decode hit rate ~= the product of
         # per-level top-k recalls, and the measured loss concentrates at the

@@ -306,9 +306,9 @@ def main():
             )
             if not np.isfinite(float(loss)):
                 raise SystemExit("diverged")
-        if i and i % args.val_every == 0:
+        if i and args.val_every and i % args.val_every == 0:
             run_validation(params, jax.random.key(123))
-        if i and i % args.save_every == 0:
+        if i and args.save_every and i % args.save_every == 0:
             save(args.out)
         i += 1
 
