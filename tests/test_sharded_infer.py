@@ -258,6 +258,34 @@ def test_sharded_latent_decode_applies_color_residuals(setup):
             np.testing.assert_allclose(ga[k], gb[k], atol=1.5 / 255.0)
 
 
+def test_sharded_guided_decode_padded_lanes(setup):
+    """Guided sharded decode with num_frames NOT divisible by dp (ADVICE r4
+    item 2): 3 frames on the dp=4 mesh forces a padded lane — all-false bits
+    through _guided_step_core, lex_argsort over all-pad coords, masked
+    up_features_compact gathers — whose garbage must be discarded without
+    corrupting the real lanes. Exact-set + color parity vs serial."""
+    import numpy as np
+    from pct.parallel import ShardedFrameDecoder
+    from pct.pipeline import SerialDecoder, SerialEncoder
+
+    model, params, frames, mesh, _ = setup
+    frames3 = frames[:3]
+    enc = SerialEncoder(model, params)
+    for step in (0, 8):
+        levels, _ = enc.compress(
+            frames3, [[1.0, 1.0]], geometry_mode="guided", lossless_color_step=step
+        )
+        lv = levels[0]
+        serial_out, _ = SerialDecoder(model, params).decompress(lv)
+        sharded_out = ShardedFrameDecoder(model, params, mesh).decode(lv.pack())
+        assert len(sharded_out) == 3
+        for a, b, f in zip(serial_out, sharded_out, frames3):
+            want = {tuple(r) for r in np.unique(f["points"], axis=0).tolist()}
+            np.testing.assert_array_equal(a["points"], b["points"])
+            assert {tuple(r) for r in b["points"].tolist()} == want
+            np.testing.assert_allclose(a["colors"], b["colors"], atol=1.5 / 255.0)
+
+
 def test_sharded_realistic_76k_gop_all_modes():
     """REALISTIC-SHAPE multi-chip validation (VERDICT r4 item 7): one GOP of
     8 x 76k-point surface frames over the full dp=8 virtual mesh, asserting
