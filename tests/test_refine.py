@@ -184,3 +184,54 @@ def test_refine_codec_roundtrip(rng):
     assert len(out) == 2
     for f, o in zip(frames, out):
         assert o["points"].shape[0] == f["points"].shape[0]
+
+
+def test_standardized_refine_loss_nulls_recalibration(rng):
+    """The refine entries of ``frame_rd_loss`` train on per-frame
+    STANDARDIZED scores (pct/train/losses.py): a uniform shift of the
+    refined logits — the recalibration direction plain BCE collapsed into
+    (PERF.md finding 6) — is removed by the masked mean, so the gradient
+    w.r.t. the refine head's output bias ``b2`` must vanish, while the
+    re-ordering directions (w1/w2) keep real gradient."""
+    from pct.train import TrainConfig, batch_rd_loss, frames_to_training_batch
+
+    cfg = dataclasses.replace(
+        UnifiedConfig(
+            channels=(4, 4, 8), latent_channels=8, hyper_channels=4,
+            scale_nn_hidden=4,
+        ),
+        refine_levels=(1, 2),
+    )
+    model = ColorModel(cfg)
+    params = model.init_params(jax.random.key(0))
+    params = _nonzero_refine(params, (1, 2), rng)
+    frames = []
+    for _ in range(2):
+        pts = np.unique(rng.integers(0, 32, (120, 3)).astype(np.int32), axis=0)
+        frames.append(
+            {"points": pts, "colors": rng.random((pts.shape[0], 3)).astype(np.float32)}
+        )
+    batch = frames_to_training_batch(frames, capacity=128)
+    qs = jnp.asarray(rng.random((2, 2)), jnp.float32)
+    keys = jax.random.split(jax.random.key(1), 2)
+    def loss_of(p):
+        return batch_rd_loss(model, TrainConfig(), p, batch, qs, keys)
+
+    (loss, _), g = jax.value_and_grad(loss_of, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    for l in (1, 2):
+        gr = g["g_s"][f"refine{l}"]
+        assert float(jnp.abs(gr["w1"]).sum()) > 0
+        assert float(jnp.abs(gr["w2"]).sum()) > 0
+
+    # finite-shift form of the invariance: a LARGE uniform bias shift of the
+    # refined logits (the exact direction plain BCE descended into) changes
+    # neither the selection (monotone) nor the standardized loss
+    shifted = jax.tree_util.tree_map(lambda x: x, params)
+    for l in (1, 2):
+        pr = dict(shifted["g_s"][f"refine{l}"])
+        pr["b2"] = pr["b2"] + 1.0
+        shifted["g_s"][f"refine{l}"] = pr
+    l0, _ = loss_of(params)
+    l1, _ = loss_of(shifted)
+    assert abs(float(l0) - float(l1)) < 1e-3 * max(abs(float(l0)), 1.0)
