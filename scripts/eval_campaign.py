@@ -30,7 +30,7 @@ BASE_PORT = 18600
 
 def run_one(
     fps: int, segments: int, ckpt: str, out_dir: str, base_port: int,
-    quality: int = 3,
+    quality: int = 3, ladder: str = "shipped",
 ) -> dict:
     import jax
 
@@ -41,6 +41,8 @@ def run_one(
     from pct.streaming.transport import PullSocket
 
     tag = f"{fps}fps" if quality == 3 else f"{fps}fps_q{quality}"
+    if ladder != "shipped":
+        tag = f"{tag}_{ladder}"
     log_dir = os.path.join(out_dir, f"logs_{tag}")
     media_dir = os.path.join(out_dir, f"media_{tag}")
     for d in (log_dir, media_dir):
@@ -59,9 +61,16 @@ def run_one(
             # the SHIPPED ladder (configs/sender.yaml): latent, guided
             # (exact geometry), guided+cr12 (near-lossless color) — plus the
             # raw rep 0 the media server always publishes (VERDICT r4 item 4)
+            # shipped = the real DASH ladder (configs/sender.yaml); latent =
+            # the round-3 / reference-comparable all-latent ladder (the
+            # reference encodes its 3 settings through one latent codec —
+            # config.yaml:12-15)
             "encoding_settings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
-            "geometry_mode": ["latent", "guided", "guided"],
-            "lossless_color_step": [0, 0, 12],
+            "geometry_mode": (
+                ["latent", "guided", "guided"] if ladder == "shipped"
+                else ["latent", "latent", "latent"]
+            ),
+            "lossless_color_step": [0, 0, 12] if ladder == "shipped" else [0, 0, 0],
             "encoder_address": f"tcp://127.0.0.1:{base_port + 2}",
             "media_server_address": f"tcp://127.0.0.1:{base_port + 3}",
             "decoder_address": f"tcp://127.0.0.1:{base_port + 4}",
@@ -136,11 +145,11 @@ def run_one(
     time.sleep(1.0)
 
     tx_csv = os.path.join(log_dir, "sender", "log.csv")
-    summary = {"fps": fps, "quality": quality, "segments_rx": rows}
+    summary = {"fps": fps, "quality": quality, "ladder": ladder, "segments_rx": rows}
     if os.path.exists(tx_csv) and os.path.exists(rx_csv):
         from pct.eval.plot import load_data, plot
 
-        figs = plot(tx_csv, rx_csv, os.path.join(out_dir, "figures"), name=f"{fps}fps")
+        figs = plot(tx_csv, rx_csv, os.path.join(out_dir, "figures"), name=tag)
         df = load_data(tx_csv, rx_csv)
         import pandas as pd
 
@@ -208,6 +217,10 @@ def main():
     ap.add_argument("--quality", type=int, default=3,
                     help="fixed client representation: 0=raw, 1=latent, "
                     "2=guided, 3=guided+cr12 (the shipped ladder)")
+    ap.add_argument("--ladder", default="shipped", choices=("shipped", "latent"),
+                    help="shipped = latent/guided/guided+cr12 (the DASH "
+                    "ladder); latent = all-latent rungs (round-3/reference "
+                    "comparable)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -227,11 +240,12 @@ def main():
     for i, fps in enumerate(int(x) for x in args.fps.split(",")):
         s = run_one(
             fps, args.segments, args.ckpt, args.out, BASE_PORT + 20 * i,
-            quality=args.quality,
+            quality=args.quality, ladder=args.ladder,
         )
         summaries = [
             r for r in summaries
-            if (r.get("fps"), r.get("quality", 3)) != (fps, args.quality)
+            if (r.get("fps"), r.get("quality", 3), r.get("ladder", "shipped"))
+            != (fps, args.quality, args.ladder)
         ] + [s]
         print(json.dumps(s), flush=True)
     summaries.sort(key=lambda r: (r.get("fps", 0), r.get("quality", 3)))
