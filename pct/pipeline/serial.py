@@ -189,6 +189,66 @@ def _pack_occ_keys(coords: np.ndarray) -> np.ndarray:
     )
 
 
+def _dedup_sorted(k: np.ndarray) -> np.ndarray:
+    if k.size == 0:
+        return k
+    return k[np.concatenate([[True], k[1:] != k[:-1]])]
+
+
+def _true_key_pyramid(frames: "Sequence[dict]", num_levels: int) -> list:
+    """Sorted uint64 ground-truth occupancy key sets, one per synthesis level
+    (strides ``2^(L-1) .. 1``), for the guided encoder's membership source.
+
+    Coarser levels are derived by masking the low ``log2(s)`` bits of each
+    16-bit coordinate lane of the packed key — ``COORD_BIAS`` is a multiple
+    of every stride, so lane masking IS floor-to-stride. Field-wise flooring
+    does NOT preserve lexicographic order (ties created in a coarser field
+    re-expose finer-field inversions: (1,9) < (3,0) but floored-by-4
+    (0,8) > (0,0)), so every masked level is re-sorted before dedup — the
+    sorted-table contract is what ``find_keys``'s binary-search path needs.
+    Frames concatenate already-sorted (batch is the top lane)."""
+    per_level: list[list[np.ndarray]] = [[] for _ in range(num_levels)]
+    for b, fr in enumerate(frames):
+        pts = np.asarray(fr["points"], np.int32)
+        bs = np.concatenate([np.full((pts.shape[0], 1), b, np.int32), pts], axis=1)
+        k = _pack_occ_keys(bs)
+        k.sort()
+        k = _dedup_sorted(k)
+        for lvl in range(num_levels):
+            s = 2 ** (num_levels - 1 - lvl)
+            if s == 1:
+                per_level[lvl].append(k)
+            else:
+                m = np.uint64(s - 1)
+                mk = k & ~((m << np.uint64(32)) | (m << np.uint64(16)) | m)
+                mk.sort()
+                per_level[lvl].append(_dedup_sorted(mk))
+    return [
+        np.concatenate(ks) if ks else np.zeros(0, np.uint64) for ks in per_level
+    ]
+
+
+@jax.jit
+def _guided_membership(hi_s, lo_s, cand_c, cand_m, bins):
+    """Device-side ground-truth membership test for the guided encoder.
+
+    Replaces the old host round trip (download candidate coords at 16 B/row
+    + int32 bins, ``np.isin`` on host, upload a bool plane) with an on-device
+    sorted-key join against the uploaded true-set table: the pyramid's next
+    step consumes ``bits`` without ever leaving the device, and the host
+    downloads only the packed bit plane (1 bit/candidate) + uint8 bins it
+    needs to write the rANS stream — ~14x fewer bytes over the host link,
+    which dominated the guided encode wall (PERF.md round-5 campaign)."""
+    hi_q, lo_q = coords_lib._masked_keys(cand_c, cand_m)
+    bits = coords_lib.find_keys(hi_s, lo_s, hi_q, lo_q) & cand_m
+    cap = bits.shape[0]
+    cap8 = -(-cap // 8) * 8
+    bp = jnp.pad(bits, (0, cap8 - cap)).reshape(-1, 8)
+    weights = jnp.array([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    packed = (bp.astype(jnp.int32) * weights[None, :]).sum(axis=1).astype(jnp.uint8)
+    return bits, packed, bins.astype(jnp.uint8)
+
+
 def _static_truncate(block: SparseBlock, cap: int) -> SparseBlock:
     if cap >= block.capacity:
         return block
@@ -662,7 +722,30 @@ class SerialEncoder:
             True,
         )
 
-    def _attach_guided(self, level: SegmentBitstream, frames: Sequence[dict]) -> None:
+    def _guided_true_tables(self, frames: Sequence[dict]) -> list:
+        """Upload the per-level ground-truth occupancy key tables ONCE per
+        segment (shared by every guided rung — the sets depend only on the
+        input frames, not the rung's latents). Tables are bucket-padded with
+        SENTINEL pairs so the membership graph compiles per (table, cand)
+        bucket pair, not per segment."""
+        keys = _true_key_pyramid(frames, self.model.config.num_levels)
+        tabs = []
+        for k in keys:
+            cap = int(bucket_size(max(int(k.size), 1)))
+            hi = np.full(cap, 0xFFFFFFFF, np.uint32)
+            lo = np.full(cap, 0xFFFFFFFF, np.uint32)
+            hi[: k.size] = (k >> np.uint64(32)).astype(np.uint32)
+            lo[: k.size] = (k & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            tabs.append((jnp.asarray(hi), jnp.asarray(lo)))
+        return tabs
+
+    def _attach_guided(
+        self,
+        level: SegmentBitstream,
+        frames: Sequence[dict],
+        true_tabs: list | None = None,
+        need_pred: bool = True,
+    ) -> None:
         """Attach guided-occupancy streams to a latent-layout level and flip
         it to ``geometry_mode="guided"``.
 
@@ -689,35 +772,33 @@ class SerialEncoder:
         dec = self._sim_decoder
         family = m.use_family_synth
         y_block, scales, means, y_syms, q, _ = dec._latent_phase1_host(level)
-        # ground-truth occupancy key sets per synthesis level
-        # (strides 2^(L-1) .. 1, i.e. 4,2,1 for the 3-level config)
-        true_keys = []
-        for lvl in range(m.config.num_levels):
-            s = 2 ** (m.config.num_levels - 1 - lvl)
-            keys = []
-            for b, fr in enumerate(frames):
-                pts = np.unique(np.asarray(fr["points"], np.int32) // s * s, axis=0)
-                bs = np.concatenate(
-                    [np.full((pts.shape[0], 1), b, np.int32), pts], axis=1
-                )
-                keys.append(_pack_occ_keys(bs))
-            true_keys.append(np.sort(np.concatenate(keys)))
+        # ground-truth occupancy key tables per synthesis level (strides
+        # 2^(L-1) .. 1), device-resident — built once per SEGMENT and shared
+        # across guided rungs (host_encode passes them in)
+        if true_tabs is None:
+            true_tabs = self._guided_true_tables(frames)
         streams: list = [None] * m.config.num_levels
 
         def source(lvl, n_parent, cand_c, cand_m, bins):
             n_sym = n_parent * 8
-            cc = np.asarray(jax.device_get(cand_c))[:n_sym]
-            bits_n = np.isin(_pack_occ_keys(cc), true_keys[lvl])
+            hi_s, lo_s = true_tabs[lvl]
+            bits_d, packed, bins_u8 = _loud_compile(
+                "encode.guided_membership",
+                (int(hi_s.shape[0]), int(cand_m.shape[0])),
+                lambda: _guided_membership(hi_s, lo_s, cand_c, cand_m, bins),
+            )
+            packed_h, bins_h = jax.device_get((packed, bins_u8))
+            bits_n = np.unpackbits(packed_h, bitorder="little")[:n_sym]
             # OC2: per-segment empirical bin calibration — rate drops to the
             # bins' empirical entropy instead of the head's (miscalibrated)
             # cross entropy, +128 B/level header
             streams[lvl] = m.binary_conditional.compress_calibrated(
                 bits_n.astype(np.int32),
-                np.asarray(bins)[:n_sym].astype(np.int32),
+                bins_h[:n_sym].astype(np.int32),
             )
-            bits = np.zeros(int(cand_m.shape[0]), bool)
-            bits[:n_sym] = bits_n
-            return bits
+            # device-resident: the pyramid's next step consumes it directly,
+            # no host round trip
+            return bits_d
 
         buf, cap_out = dec._guided_pyramid(
             level, y_block, scales, means, y_syms, q, source, family=family
@@ -725,6 +806,8 @@ class SerialEncoder:
         level.geometry_mode = "guided"
         level.occ_strings = list(streams)
         level.occ_family = family
+        if not need_pred:
+            return None
         # the pyramid's last level IS the decoder's color prediction at the
         # exact set — return it so a color-residual attach needn't re-decode
         coords, colors, out_mask = _unpack_synth_buf(np.asarray(jax.device_get(buf)), cap_out)
@@ -829,9 +912,17 @@ class SerialEncoder:
             # becomes exact (see _attach_guided)
             assert frames is not None, "guided geometry needs the input frames"
             t0 = time.time()
-            for lv, m in zip(levels, modes):
+            true_tabs = self._guided_true_tables(frames)
+            for qi, (lv, m) in enumerate(zip(levels, modes)):
                 if m == "guided":
-                    guided_preds[id(lv)] = self._attach_guided(lv, frames)
+                    # the decoded prediction is only needed when this rung
+                    # carries a color-residual tail — skip the synthesis
+                    # buffer download otherwise
+                    pred = self._attach_guided(
+                        lv, frames, true_tabs=true_tabs, need_pred=steps[qi] > 0
+                    )
+                    if pred is not None:
+                        guided_preds[id(lv)] = pred
             times["occupancy_coding"] = time.time() - t0
         if lossless_extra and modes[-1] != "lossless":
             last = levels[-1]

@@ -101,6 +101,24 @@ def searchsorted_keys(hi_sorted, lo_sorted, hi_q, lo_q):
     return _searchsorted_keys_xla(hi_sorted, lo_sorted, hi_q, lo_q)
 
 
+def find_keys(hi_sorted, lo_sorted, hi_q, lo_q):
+    """Exact-match membership of query key pairs in a sorted key table.
+
+    Key-level twin of :func:`find_coords` for callers that already hold
+    packed key pairs (e.g. the guided encoder's ground-truth occupancy
+    tables, built host-side and uploaded once per segment). Table padding
+    rows must be ``SENTINEL`` pairs; sentinel queries never match.
+    Returns ``found`` bool in query order."""
+    n = hi_sorted.shape[0]
+    if _use_merge_join(n, hi_q.shape[0]):
+        _, found = merge_join_keys(hi_sorted, lo_sorted, hi_q, lo_q)
+        return found
+    pos = _searchsorted_keys_xla(hi_sorted, lo_sorted, hi_q, lo_q)
+    idx = jnp.clip(pos, 0, n - 1)
+    k = jnp.stack([hi_sorted, lo_sorted], axis=1)[idx]
+    return (k[:, 0] == hi_q) & (k[:, 1] == lo_q) & (hi_q != SENTINEL_HI)
+
+
 def _use_merge_join(ns: int, nq: int) -> bool:
     # Sort cost ~ (ns + nq); binary-search cost ~ nq * log(ns) rounds of
     # duplicate-address gathers. Merge wins except when queries are few

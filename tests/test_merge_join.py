@@ -111,3 +111,41 @@ def test_self_kernel_map_matches_general(rng):
         np.testing.assert_array_equal(
             np.asarray(idx_s)[fg], np.asarray(idx_g)[fg]
         )
+
+
+def test_find_keys_matches_isin_oracle(rng):
+    """find_keys (key-level membership twin of find_coords) must match a
+    NumPy isin oracle on packed uint64 keys, on BOTH dispatch paths
+    (binary search for small problems, merge join for large), with
+    sentinel-padded tables and sentinel queries never matching."""
+    from pct.sparse.coords import find_keys
+
+    for n_tab, n_q in ((500, 2000), (6000, 24000)):  # below / above the
+        # (ns + nq) >= 8192 merge-join dispatch threshold
+        tab = _sorted_table(rng, n_tab)
+        t_hi, t_lo = pack_keys(tab)
+        t64 = (np.asarray(t_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(t_lo)
+        order = np.argsort(t64)
+        t64 = t64[order]
+        # sentinel-pad the sorted table (the guided true-table contract)
+        pad = 37
+        hi_s = np.full(t64.size + pad, 0xFFFFFFFF, np.uint32)
+        lo_s = np.full(t64.size + pad, 0xFFFFFFFF, np.uint32)
+        hi_s[: t64.size] = (t64 >> np.uint64(32)).astype(np.uint32)
+        lo_s[: t64.size] = (t64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+        q = np.array(_sorted_table(rng, n_q))
+        # make ~half the queries true members
+        hit = rng.random(q.shape[0]) < 0.5
+        tab_np = np.asarray(tab)
+        q[hit] = tab_np[rng.integers(0, tab_np.shape[0], int(hit.sum()))]
+        q_hi, q_lo = pack_keys(jnp.asarray(q))
+        # mask a slice of queries to sentinels: must return False
+        qm = rng.random(q.shape[0]) < 0.9
+        q_hi = jnp.where(jnp.asarray(qm), q_hi, SENTINEL_HI)
+        q_lo = jnp.where(jnp.asarray(qm), q_lo, jnp.uint32(0xFFFFFFFF))
+
+        got = np.asarray(find_keys(jnp.asarray(hi_s), jnp.asarray(lo_s), q_hi, q_lo))
+        q64 = (np.asarray(q_hi).astype(np.uint64) << np.uint64(32)) | np.asarray(q_lo)
+        want = np.isin(q64, t64) & qm
+        assert np.array_equal(got, want), (n_tab, n_q, int((got != want).sum()))
