@@ -36,19 +36,42 @@ def topk_per_batch_mask(
 
     Ties are broken by input position (stable). ``k_per_batch`` is ``[B]``
     (int); batch ids must lie in ``[0, B)``.
+
+    For ``B <= 255`` (every codec configuration — segments carry at most
+    ~16 frames) the two sort keys are PACKED into one uint32:
+    ``(batch << sbits) | (desc_score_key >> bbits)`` with
+    ``bbits = ceil(log2(B + 1))`` — the all-ones batch field is reserved
+    for invalid rows, so the packed invalid key ``0xFFFFFFFF`` still sorts
+    last. This turns the 3-operand 2-key ``lax.sort`` (the decode
+    synthesis path's single largest op at vox10 scale — PERF.md) into a
+    2-operand single-key sort. Truncating the score key's low ``bbits``
+    bits only collapses scores equal in their top ``32 - bbits`` bits
+    (>= 24; ~2^-19 relative) — such near-ties then break by input
+    position, exactly like exact ties today; encoder and decoder share
+    this code, so the selection contract stays consistent.
     """
     n = batch_ids.shape[0]
-    b_key = jnp.where(valid, batch_ids.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    s_key = _float_sort_key_desc(jnp.where(valid, scores, -jnp.inf))
+    num_b = int(k_per_batch.shape[0])
     idx = jnp.arange(n, dtype=jnp.int32)
-    b_sorted, _, orig = jax.lax.sort((b_key, s_key, idx), num_keys=2, is_stable=True)
-
     pos = jnp.arange(n, dtype=jnp.int32)
+    s_key = _float_sort_key_desc(jnp.where(valid, scores, -jnp.inf))
+    if num_b <= 255:
+        bbits = max(1, (num_b + 1 - 1).bit_length())  # ceil(log2(B+1))
+        sbits = 32 - bbits
+        packed = (batch_ids.astype(jnp.uint32) << sbits) | (s_key >> bbits)
+        packed = jnp.where(valid, packed, jnp.uint32(0xFFFFFFFF))
+        p_sorted, orig = jax.lax.sort((packed, idx), num_keys=1, is_stable=True)
+        b_sorted = p_sorted >> sbits
+        valid_sorted = p_sorted != jnp.uint32(0xFFFFFFFF)
+    else:
+        b_key = jnp.where(valid, batch_ids.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+        b_sorted, _, orig = jax.lax.sort((b_key, s_key, idx), num_keys=2, is_stable=True)
+        valid_sorted = b_sorted != jnp.uint32(0xFFFFFFFF)
+
     first = jnp.concatenate([jnp.ones((1,), bool), b_sorted[1:] != b_sorted[:-1]])
     seg_start = jax.lax.cummax(jnp.where(first, pos, 0))
     rank = pos - seg_start
 
-    valid_sorted = b_sorted != jnp.uint32(0xFFFFFFFF)
     b_clamped = jnp.clip(b_sorted.astype(jnp.int32), 0, k_per_batch.shape[0] - 1)
     keep_sorted = valid_sorted & (rank < k_per_batch[b_clamped])
     return jnp.zeros((n,), bool).at[orig].set(keep_sorted)

@@ -151,3 +151,52 @@ def test_generative_up_return_rows():
     rec = pc[prow].copy()
     rec[:, 1:] += slot_xyz
     assert np.array_equal(rec[om], oc[om])
+
+
+def test_topk_packed_key_matches_oracle_and_fallback():
+    """The packed single-key sort path (B <= 255) must select exactly the
+    same rows as a NumPy per-batch top-k oracle with index tie-break, for
+    every batch-field width the packing can produce — and the B > 255
+    two-key fallback must agree with the oracle too."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    # distinct integer-valued scores: differences live in high mantissa
+    # bits, so the packed key's low-bit truncation can never reorder them
+    base_scores = rng.permutation(n).astype(np.float32)
+
+    def oracle(batch, scores, valid, k):
+        keep = np.zeros(n, bool)
+        for b in range(k.shape[0]):
+            rows = np.flatnonzero((batch == b) & valid)
+            order = rows[np.lexsort((rows, -scores[rows]))][: k[b]]
+            keep[order] = True
+        return keep
+
+    for nb in (1, 2, 3, 4, 15, 16, 255, 300):
+        batch = rng.integers(0, nb, n).astype(np.int32)
+        valid = rng.random(n) < 0.85
+        k = rng.integers(0, max(2, n // nb), nb).astype(np.int32)
+        got = np.asarray(
+            valid
+            & topk_per_batch_mask(
+                jnp.asarray(batch),
+                jnp.asarray(base_scores),
+                jnp.asarray(valid),
+                jnp.asarray(k),
+            )
+        )
+        assert np.array_equal(got, oracle(batch, base_scores, valid, k)), nb
+
+
+def test_topk_packed_key_tie_break_is_stable():
+    """Scores that collide after low-bit truncation must break ties by
+    input position — the same contract exact ties have always had."""
+    n, nb = 64, 3
+    batch = jnp.asarray(np.arange(n, dtype=np.int32) % nb)
+    scores = jnp.ones((n,), jnp.float32)  # all tied
+    valid = jnp.ones((n,), bool)
+    k = jnp.asarray([5, 5, 5], jnp.int32)
+    keep = np.asarray(topk_per_batch_mask(batch, scores, valid, k))
+    for b in range(nb):
+        rows = np.flatnonzero(np.asarray(batch) == b)
+        assert np.array_equal(np.flatnonzero(keep[rows]), np.arange(5)), b
