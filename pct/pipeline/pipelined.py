@@ -60,9 +60,14 @@ class CompressionPipeline:
                 dev, settings, frames, geometry_mode=geometry_mode,
                 lossless_extra=lossless_extra, lossless_color_step=color_step,
             )
-            times.update(
-                {"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0}
-            )
+            # modeled E1/E2/E4 split of the fused device wall (see
+            # serial._device_step_fractions); the step sum stays t_device
+            f_a, f_ha, f_hs = dev.get("step_fracs", (1.0, 0.0, 0.0))
+            times.update({
+                "analysis": t_device * f_a,
+                "hyper_analysis": t_device * f_ha,
+                "hyper_synthesis": t_device * f_hs,
+            })
             total_bytes = sum(lv.num_bytes() for lv in levels)
             sideinfo = {
                 "num_points": dev["num_points"],

@@ -23,8 +23,8 @@ Stage-capacity strategy: inside a fused graph the latent/hyper row capacities
 are static fractions of the input capacity (surface-like clouds shrink ~4-8x
 per stride level); a post-hoc count check falls back to full-capacity graphs
 in the rare overflow case. The reference's per-step timing telemetry is kept:
-device-fused steps report under E1/analysis (E2/E4 are fused and reported
-as 0 — see ``time_measurements`` docstrings).
+the fused device wall is attributed across E1/E2/E4 by a modeled MAC split
+(``_device_step_fractions``; structure ops land in E1 by construction).
 
 Determinism note: decode correctness requires encoder and decoder to agree on
 the Gaussian (scale, mean) parameters bit-wise. Two mechanisms: (1) the
@@ -507,6 +507,67 @@ def _caps_for(capacity: int) -> tuple[tuple[int, ...], int]:
     )
 
 
+def _transform_macs(params: Params, rows_of) -> float:
+    """Sum ``taps * Cin * Cout * rows`` over one transform's conv weights.
+
+    ``rows_of(name)`` maps a layer name (``conv0``, ``down1``, ``out``, ...)
+    to the static row capacity that layer's output is evaluated at."""
+    total = 0.0
+    for name, layer in params.items():
+        w = layer.get("w") if isinstance(layer, dict) else None
+        if w is None or getattr(w, "ndim", 0) != 3:
+            continue
+        taps, cin, cout = w.shape
+        total += float(rows_of(name)) * taps * cin * cout
+    return total
+
+
+def _device_step_fractions(params: Params, config, cap_in: int,
+                           level_caps: tuple, cap_z: int) -> tuple:
+    """Modeled split of the fused E1 device graph across the reference's
+    E1/E2/E4 step keys: ``(f_analysis, f_hyper_analysis, f_hyper_synthesis)``.
+
+    The encode transforms fuse into ONE XLA program, so per-step walls are
+    not separately measurable without breaking the fusion that makes the
+    graph fast. Instead the wall is attributed proportionally to each
+    transform's modeled MAC work (taps x Cin x Cout x static row capacity
+    per conv). Structure ops (canonical sort, kernel-map joins, top-k) run
+    on the analysis-side grids and are not modeled, so their time lands in
+    E1/analysis — the same bucket where the reference's E1 pays its
+    MinkowskiEngine hash/stack cost (sender/encoder/codec_pipeline.py),
+    keeping the stacked step bars comparable in kind. Hyper grids are ~64x
+    smaller than the input, so E2/E4 land at a few percent — a modeled
+    estimate, but far closer than the 0.0 reported through round 5."""
+    L = config.num_levels
+    ny = level_caps[L - 1]
+    # g_a rows: v1 convs run at each level's INPUT rows, v2 at the
+    # patchified OUTPUT rows; downs at their output rows; "out" at the y grid
+    ga_in = (cap_in,) + tuple(level_caps[: L - 1])
+
+    def ga_rows(name):
+        i = int(name[-1]) if name[-1].isdigit() else L - 1
+        if name.startswith("conv"):
+            return level_caps[i] if config.arch == "v2" else ga_in[i]
+        if name.startswith("down"):
+            return level_caps[i]
+        return ny  # "out"
+
+    # h_a: conv0 at ny; down0 at the (unmaterialized-cap) mid grid ~ny/4;
+    # down1 at the z grid
+    mid = max(ny // 4, cap_z)
+    ha_rows = {"conv0": ny, "down0": mid, "down1": cap_z}
+    # h_s: up0 expands z 8x, conv0 on that grid; the final up+conv is
+    # evaluated lazily at the ny y rows (generative_up_conv_at)
+    hs_rows = {"up0": 8 * cap_z, "conv0": 8 * cap_z, "up1": ny, "conv1": ny}
+    m_ga = _transform_macs(params["g_a"], ga_rows)
+    m_ha = _transform_macs(params["h_a"], lambda n: ha_rows.get(n, ny))
+    m_hs = _transform_macs(params["h_s"], lambda n: hs_rows.get(n, ny))
+    total = m_ga + m_ha + m_hs
+    if total <= 0:
+        return (1.0, 0.0, 0.0)
+    return (m_ga / total, m_ha / total, m_hs / total)
+
+
 class SerialEncoder:
     """compress(frames, settings) -> (levels, sideinfo) — the
     ``CompressionPipeline.compress`` surface (reference ``codec_single.py:47``)."""
@@ -663,6 +724,8 @@ class SerialEncoder:
         y_syms = buf[offs[1] : offs[2]].view(np.int16).reshape(nq, ny_cap, c_lat)
         y_idxs = buf[offs[2] : offs[3]].reshape(nq, ny_cap, c_lat)
         z_syms = buf[offs[3] : offs[4]].view(np.int16).reshape(nz_cap, c_hyp)
+        if overflow:
+            level_caps, cap_z = (cap,) * len(level_caps), cap
         return {
             "num_frames": num_frames,
             "num_points": num_points,
@@ -673,6 +736,9 @@ class SerialEncoder:
             "y_syms": y_syms[:, :ny],
             "y_idxs": y_idxs[:, :ny],
             "z_syms": z_syms[:nz],
+            "step_fracs": _device_step_fractions(
+                self.params, self.model.config, cap, level_caps, cap_z
+            ),
         }
 
     # ------------------------------------------------------------------
@@ -978,7 +1044,10 @@ class SerialEncoder:
         voxels survive — this mode removes that loss class entirely).
 
         ``time_measurements``: E2/E4 (hyper analysis/synthesis) run fused
-        inside the E1 device graph and are reported as 0.0."""
+        inside the E1 device graph; the measured device wall is attributed
+        across E1/E2/E4 by the modeled MAC split (``_device_step_fractions``)
+        so the stacked step bars are comparable in kind to the reference's
+        CSVs. The three steps sum to exactly the measured device wall."""
         t_codec_start = time.time()
         t0 = time.time()
         dev = self.device_encode(frames, settings)
@@ -986,7 +1055,14 @@ class SerialEncoder:
         levels, times = self.host_encode(
             dev, settings, frames, geometry_mode, lossless_extra, lossless_color_step
         )
-        times.update({"analysis": t_device, "hyper_analysis": 0.0, "hyper_synthesis": 0.0})
+        # modeled split of the fused device graph across E1/E2/E4 (see
+        # _device_step_fractions): the step sum stays exactly t_device
+        f_a, f_ha, f_hs = dev.get("step_fracs", (1.0, 0.0, 0.0))
+        times.update({
+            "analysis": t_device * f_a,
+            "hyper_analysis": t_device * f_ha,
+            "hyper_synthesis": t_device * f_hs,
+        })
 
         total_bytes = sum(lv.num_bytes() for lv in levels)
         sideinfo = {

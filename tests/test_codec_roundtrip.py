@@ -496,3 +496,31 @@ def test_multirate_fused_five_levels(codec, rng):
         for a, b in zip(serial_out, out_q):
             np.testing.assert_array_equal(a["points"], b["points"])
             np.testing.assert_array_equal(a["colors"], b["colors"])
+
+
+def test_device_step_split_models_e2_e4(codec, rng):
+    """The fused E1 device graph's wall is attributed across E1/E2/E4 by the
+    modeled MAC split: all three nonzero, summing exactly to the measured
+    device wall, with analysis dominant (hyper grids are ~64x smaller)."""
+    enc, _ = codec
+    frames = make_frames(rng)
+    _, si = enc.compress(frames, [[1.0, 1.0]])
+    tm = si["time_measurements"]
+    e1, e2, e4 = tm["analysis"], tm["hyper_analysis"], tm["hyper_synthesis"]
+    assert e1 > 0 and e2 > 0 and e4 > 0
+    dev = enc.device_encode(frames, [[1.0, 1.0]])
+    f = dev["step_fracs"]
+    assert abs(sum(f) - 1.0) < 1e-6
+    np.testing.assert_allclose((e1 + e2 + e4) * np.asarray(f) / sum(f),
+                               [e1, e2, e4], rtol=1e-6)
+    # at production capacities (shrunk level/z caps) the split must be
+    # analysis-dominant — hyper grids are ~64x smaller than the input
+    from pct.pipeline.serial import _caps_for, _device_step_fractions
+
+    cap = 262144
+    level_caps, cap_z = _caps_for(cap)
+    fa, fha, fhs = _device_step_fractions(
+        enc.params, enc.model.config, cap, level_caps, cap_z
+    )
+    assert abs(fa + fha + fhs - 1.0) < 1e-6
+    assert fa > 0.5 and fa > fha and fa > fhs
