@@ -791,19 +791,27 @@ class SerialEncoder:
     def _guided_true_tables(self, frames: Sequence[dict]) -> list:
         """Upload the per-level ground-truth occupancy key tables ONCE per
         segment (shared by every guided rung — the sets depend only on the
-        input frames, not the rung's latents). Tables are bucket-padded with
-        SENTINEL pairs so the membership graph compiles per (table, cand)
-        bucket pair, not per segment."""
+        input frames, not the rung's latents).
+
+        Tables upload TIGHT (uploads don't key compiles) and are padded to
+        each level's static candidate capacity lazily in ``_attach_guided``
+        — an eager on-device sentinel pad. Every true voxel at a level is a
+        child of a true parent, so the true set always fits the candidate
+        capacity, and the membership graph is then keyed ONLY on the
+        candidate capacity the prewarm ladder already compiles. Bucketing
+        the table by its own size instead put a (table, cand) bucket PAIR
+        on the hot path — live true-set sizes land in pairs the prewarm
+        never saw, and one cold membership compile costs 20-50 s mid-stream
+        (measured: the first r5m campaign run staggered to 6 segments at
+        35 s/segment walls)."""
         keys = _true_key_pyramid(frames, self.model.config.num_levels)
-        tabs = []
-        for k in keys:
-            cap = int(bucket_size(max(int(k.size), 1)))
-            hi = np.full(cap, 0xFFFFFFFF, np.uint32)
-            lo = np.full(cap, 0xFFFFFFFF, np.uint32)
-            hi[: k.size] = (k >> np.uint64(32)).astype(np.uint32)
-            lo[: k.size] = (k & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            tabs.append((jnp.asarray(hi), jnp.asarray(lo)))
-        return tabs
+        return [
+            (
+                jnp.asarray((k >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray((k & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            )
+            for k in keys
+        ]
 
     def _attach_guided(
         self,
@@ -848,9 +856,19 @@ class SerialEncoder:
         def source(lvl, n_parent, cand_c, cand_m, bins):
             n_sym = n_parent * 8
             hi_s, lo_s = true_tabs[lvl]
+            cap = int(cand_m.shape[0])
+            if int(hi_s.shape[0]) != cap:
+                # eager on-device sentinel pad to the candidate capacity:
+                # keys the membership graph on cand_cap alone (prewarmed)
+                pad = cap - int(hi_s.shape[0])
+                assert pad >= 0, "true set exceeds candidate capacity"
+                sent = jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)
+                hi_s = jnp.concatenate([hi_s, sent])
+                lo_s = jnp.concatenate([lo_s, sent])
+                true_tabs[lvl] = (hi_s, lo_s)  # reuse across sibling rungs
             bits_d, packed, bins_u8 = _loud_compile(
                 "encode.guided_membership",
-                (int(hi_s.shape[0]), int(cand_m.shape[0])),
+                (cap,),
                 lambda: _guided_membership(hi_s, lo_s, cand_c, cand_m, bins),
             )
             packed_h, bins_h = jax.device_get((packed, bins_u8))
