@@ -321,3 +321,25 @@ def test_guided_every_quality_decodes_exact(codec, rng):
         out, _ = dec.decompress(lv.pack())
         want = np.unique(np.asarray(frames[0]["points"], np.int32), axis=0)
         np.testing.assert_array_equal(out[0]["points"], want)
+
+
+def test_membership_graph_stable_across_true_set_sizes(codec, rng):
+    """The guided-encode membership graph must key on the (prewarmed)
+    candidate capacity alone: segments in the same bucket tier with
+    different per-level true-set sizes must NOT trigger new compiles (a
+    cold membership compile costs 20-50 s on the live hot path — the
+    round-5 r5m campaign regression)."""
+    from pct.pipeline import serial as S
+
+    enc, _ = codec
+
+    def seg(n, seed):
+        r = np.random.default_rng(seed)
+        pts = np.unique(r.integers(0, 64, (n, 3)).astype(np.int32), axis=0)
+        return [{"points": pts, "colors": r.random((pts.shape[0], 3)).astype(np.float32)}]
+
+    enc.compress(seg(700, 1), [[1.0, 0.0]], geometry_mode="guided")
+    before = S._guided_membership._cache_size()
+    enc.compress(seg(640, 2), [[1.0, 0.0]], geometry_mode="guided")
+    enc.compress(seg(520, 3), [[1.0, 0.0]], geometry_mode="guided")
+    assert S._guided_membership._cache_size() == before
