@@ -175,6 +175,10 @@ class ShardedFrameEncoder:
             ys_parts.append(y_syms[b, :, :ny_b])
             yi_parts.append(y_idxs[b, :, :ny_b])
             zs_parts.append(z_syms[b, :nz_b])
+        from pct.pipeline.serial import _device_step_fractions
+
+        if overflow:
+            level_caps, cap_z = (cap,) * L, cap
         return {
             "num_frames": num_frames,
             "num_points": tot_pts,
@@ -185,6 +189,10 @@ class ShardedFrameEncoder:
             "y_syms": np.concatenate(ys_parts, axis=1),
             "y_idxs": np.concatenate(yi_parts, axis=1),
             "z_syms": np.concatenate(zs_parts, axis=0),
+            # modeled E1/E2/E4 attribution, same contract as device_encode
+            "step_fracs": _device_step_fractions(
+                self.params, self.model.config, cap, level_caps, cap_z
+            ),
         }
 
 
